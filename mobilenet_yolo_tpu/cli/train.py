@@ -1,0 +1,167 @@
+"""Training CLI — same flag surface as the reference train.py:452-485.
+
+    python -m mobilenet_yolo_tpu.cli.train -y <data.yaml> -c <ckptdir>
+
+Extras over the reference: ``--synthetic`` trains on generated data (smoke
+runs without a dataset), ``--backbone {mbv2,mbv3,mbv3_macc}`` selects the
+detector family, and NNI tuner params merge automatically when running
+inside an NNI trial (train.py:487-499 semantics via train/hpo.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def get_params(argv=None):
+    parser = argparse.ArgumentParser(description="TPU YOLO Training")
+    parser.add_argument("-y", "--data_yaml", dest="data_yaml",
+                        default="mobilenet_yolo_tpu/configs/voc_data.yaml",
+                        type=str, metavar="PATH")
+    parser.add_argument("--momentum", default=0.9, type=float)
+    parser.add_argument("--weight-decay", "--wd", dest="weight_decay",
+                        default=0.0004, type=float)
+    parser.add_argument("--learning_rate", default=0.0007, type=float)
+    parser.add_argument("--warm-up", "--warmup", dest="warm_up", default=[],
+                        type=float, nargs="*")
+    parser.add_argument("--epochs", default=300, type=int)
+    parser.add_argument("--schedule", type=int, nargs="+",
+                        default=[100, 170, 240])
+    parser.add_argument("--resume", default="", type=str, metavar="PATH")
+    parser.add_argument("-c", "--checkpoint", default="checkpoint", type=str)
+    parser.add_argument("-o", "--export", default="checkpoint", type=str)
+    parser.add_argument("-e", "--evaluate", action="store_true")
+    parser.add_argument("--mosaic_num", default=None, type=int, nargs="*")
+    parser.add_argument("--ignore_thresh_1", default=None, type=float)
+    parser.add_argument("--ignore_thresh_2", default=None, type=float)
+    parser.add_argument("--iou_thresh", default=None, type=float)
+    parser.add_argument("--expand_scale", default=None, type=float)
+    parser.add_argument("--iou_weighting", default=None, type=float)
+    parser.add_argument("--backbone", default="mbv2",
+                        choices=["mbv2", "mbv3", "mbv3_macc"])
+    parser.add_argument("--batch-size", default=None, type=int)
+    # smoke-mode extras
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on synthetic data (no dataset needed)")
+    parser.add_argument("--steps-per-epoch", default=8, type=int)
+    parser.add_argument("--img-size", default=96, type=int)
+    parser.add_argument("--init-from", default="", type=str,
+                        help="npz params file (e.g. converted torch weights)")
+    return parser.parse_args(argv)
+
+
+def main(args):
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
+    from mobilenet_yolo_tpu.config import load_config
+    from mobilenet_yolo_tpu.models import build_model
+    from mobilenet_yolo_tpu.train.hpo import make_report_hook
+    from mobilenet_yolo_tpu.train.loop import Trainer, TrainerConfig
+
+    overrides = {k: getattr(args, k) for k in (
+        "ignore_thresh_1", "ignore_thresh_2", "iou_thresh", "expand_scale",
+        "mosaic_num", "iou_weighting")}
+
+    if args.synthetic:
+        model_cfg = {
+            "img_w": args.img_size, "img_h": args.img_size,
+            "batch_size": args.batch_size or 8,
+            "train_img_size": [[args.img_size, args.img_size]],
+            "expand_scale": 1.5, "mosaic_num": [1], "iou_weighting": 0.02,
+            "normalize": {"mean": [0.5] * 3, "std": [1.0] * 3},
+            "yolo": {
+                "num_classes": 4, "num_anchors": 3,
+                "ignore_thresh": [0.6, 0.55], "iou_thresh": 0.55,
+                "anchors": [[34, 47], [48, 40], [70, 70],
+                            [10, 12], [15, 25], [24, 18]],
+                "classes": 4,
+                "mask": [[0, 1, 2], [3, 4, 5]],
+            },
+        }
+        classes_name = ["background", "c1", "c2", "c3", "c4"]
+        segmentation = False
+    else:
+        cfg = load_config(args.data_yaml, overrides)
+        model_cfg = cfg.model
+        classes_name = cfg.classes
+        segmentation = cfg.segmentation_enabled
+        if args.batch_size:
+            model_cfg["batch_size"] = args.batch_size
+
+    model = build_model(model_cfg, args.backbone)
+    tcfg = TrainerConfig(
+        epochs=args.epochs, learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay, schedule=tuple(args.schedule),
+        warm_up=tuple(int(w) for w in args.warm_up),
+        checkpoint_dir=args.checkpoint,
+        tensorboard_dir=(os.environ["NNI_OUTPUT_DIR"] + "/tensorboard"
+                         if "NNI_OUTPUT_DIR" in os.environ else "tensorboard"),
+    )
+    trainer = Trainer(model, model_cfg, classes_name, tcfg,
+                      segmentation=segmentation, report=make_report_hook())
+
+    if args.init_from:
+        from mobilenet_yolo_tpu.tools_io import load_params_npz
+        params, batch_stats = load_params_npz(args.init_from)
+        trainer.state = trainer.state.replace(params=params,
+                                              batch_stats=batch_stats)
+    if args.resume or trainer.ckpt.latest_step() is not None:
+        trainer.maybe_resume()
+
+    if args.synthetic:
+        from mobilenet_yolo_tpu.data.synthetic import synthetic_batches
+        bs = model_cfg["batch_size"]
+
+        def train_loader():
+            for images, gt, n_gt in synthetic_batches(
+                    args.steps_per_epoch, bs, args.img_size,
+                    model_cfg["yolo"]["num_classes"]):
+                yield {"images": images, "gt": gt, "n_gt": n_gt,
+                       "count": bs}
+
+        eval_loader = train_loader
+    else:
+        import yaml
+        with open(args.data_yaml) as f:
+            data_cfg = yaml.safe_load(f)
+        from mobilenet_yolo_tpu.data.pipeline import DetectionDataset, Loader
+        from mobilenet_yolo_tpu.data.records import RecordReader
+        train_ds = DetectionDataset(
+            RecordReader(data_cfg["trainval_dataset_path"]["lmdb"]),
+            phase="train", expand_scale=model_cfg["expand_scale"],
+            has_seg=segmentation,
+            seg_num_classes=int(data_cfg.get("segmentation_num_classes", 0)))
+        test_ds = DetectionDataset(
+            RecordReader(data_cfg["test_dataset_path"]["lmdb"]), phase="test")
+        norm = model_cfg["normalize"]
+        bs = model_cfg["batch_size"]
+
+        def train_loader():
+            return Loader(train_ds, bs, model_cfg["train_img_size"],
+                          norm["mean"], norm["std"],
+                          mosaic_num=model_cfg["mosaic_num"])
+
+        def eval_loader():
+            return Loader(test_ds, bs,
+                          [[model_cfg["img_w"], model_cfg["img_h"]]],
+                          norm["mean"], norm["std"], shuffle=False)
+
+    if args.evaluate:
+        mAP, aps = trainer.evaluate(eval_loader())
+        print({"mAP": mAP, **aps})
+        return mAP
+
+    best = trainer.fit(train_loader, eval_loader)
+    print(f"best mAP: {best:.4f}")
+    return best
+
+
+if __name__ == "__main__":
+    from mobilenet_yolo_tpu.train.hpo import get_tuner_overrides
+    args = get_params()
+    for k, v in get_tuner_overrides().items():
+        if hasattr(args, k):
+            setattr(args, k, v)
+    main(args)

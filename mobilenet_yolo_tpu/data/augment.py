@@ -1,0 +1,261 @@
+"""SSD-style detection augmentations (host-side numpy/PIL).
+
+Re-implements the semantics of reference utils/image_augmentation.py:
+
+* ``photometric_distort`` (169-198): brightness/contrast/saturation/hue/
+  gamma, each applied with p=0.5 in random order with the Caffe-repo factor
+  ranges.
+* ``expand`` (14-52): zoom-out onto a mean-filled canvas, scale drawn from
+  U(1, expand_scale).
+* ``random_crop`` (54-145): retry loop over min-overlap choices
+  {0,.1,.2,.3,.4,.5,None} with [0.5,1] scales, aspect-ratio gate and
+  center-keep box filtering.
+* ``hflip`` (147-166): the reference's exact coordinate math, including its
+  "-1" pixel convention.
+* ``pixel_noise`` replaces the imgaug sometimes-pipeline
+  (folder2lmdb.py:29-42): gaussian/median blur, sharpen, additive gaussian
+  noise — 1-2 of them with p=0.5.
+
+Everything operates on uint8 RGB HWC arrays + float corner boxes in pixels
+and an explicit ``np.random.Generator`` (no global RNG), so the pipeline is
+reproducible and per-worker seedable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# --------------------------------------------------------------- photometric
+
+def _blend(a: np.ndarray, b: np.ndarray, factor: float) -> np.ndarray:
+    out = b + factor * (a - b)
+    return np.clip(out, 0, 255)
+
+
+def adjust_brightness(img: np.ndarray, factor: float) -> np.ndarray:
+    return _blend(img.astype(np.float32), np.zeros_like(img, np.float32), factor)
+
+
+def adjust_contrast(img: np.ndarray, factor: float) -> np.ndarray:
+    # torchvision contrast pivots on the mean of the grayscale image
+    gray = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+    mean = gray.mean()
+    return _blend(img.astype(np.float32), np.full_like(img, mean, np.float32), factor)
+
+
+def adjust_saturation(img: np.ndarray, factor: float) -> np.ndarray:
+    gray = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+    gray3 = np.repeat(gray[..., None], 3, axis=-1).astype(np.float32)
+    return _blend(img.astype(np.float32), gray3, factor)
+
+
+def adjust_hue(img: np.ndarray, delta: float) -> np.ndarray:
+    """delta in [-0.5, 0.5] revolutions (torchvision convention)."""
+    import colorsys  # noqa: F401  (documented convention)
+    hsv = _rgb_to_hsv(img.astype(np.float32) / 255.0)
+    hsv[..., 0] = (hsv[..., 0] + delta) % 1.0
+    return np.clip(_hsv_to_rgb(hsv) * 255.0, 0, 255)
+
+
+def adjust_gamma(img: np.ndarray, gamma: float) -> np.ndarray:
+    x = img.astype(np.float32) / 255.0
+    return np.clip((x ** gamma) * 255.0, 0, 255)
+
+
+def _rgb_to_hsv(rgb):
+    mx = rgb.max(-1)
+    mn = rgb.min(-1)
+    diff = mx - mn
+    safe = np.where(diff == 0, 1.0, diff)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    h = np.where(mx == r, ((g - b) / safe) % 6,
+                 np.where(mx == g, (b - r) / safe + 2, (r - g) / safe + 4))
+    h = np.where(diff == 0, 0.0, h) / 6.0
+    s = np.where(mx == 0, 0.0, diff / np.where(mx == 0, 1.0, mx))
+    return np.stack([h, s, mx], axis=-1)
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0] * 6.0, hsv[..., 1], hsv[..., 2]
+    i = np.floor(h)
+    f = h - i
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    i = (i.astype(np.int32) % 6)[..., None]  # (H, W, 1) vs (H, W, 3) choices
+    out = np.select(
+        [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+        [np.stack([v, t, p], -1), np.stack([q, v, p], -1),
+         np.stack([p, v, t], -1), np.stack([p, q, v], -1),
+         np.stack([t, p, v], -1), np.stack([v, p, q], -1)])
+    return out
+
+
+def photometric_distort(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Each distortion with p=0.5 in random order (reference :169-198)."""
+    img = img.astype(np.float32)
+    ops = ["brightness", "contrast", "saturation", "hue", "gamma"]
+    rng.shuffle(ops)
+    for op in ops:
+        if rng.random() >= 0.5:
+            continue
+        if op == "hue":
+            delta = rng.uniform(-18 / 255.0, 18 / 255.0)
+            img = adjust_hue(img, delta)
+        else:
+            factor = rng.uniform(0.5, 1.5)
+            img = {"brightness": adjust_brightness,
+                   "contrast": adjust_contrast,
+                   "saturation": adjust_saturation,
+                   "gamma": adjust_gamma}[op](img, factor)
+    return img.astype(np.uint8)
+
+
+# ------------------------------------------------------------- pixel noise
+
+def _box_blur(img: np.ndarray, k: int) -> np.ndarray:
+    """Separable box blur approximating the imgaug gaussian (cheap, host-side)."""
+    x = img.astype(np.float32)
+    pad = k // 2
+    for axis in (0, 1):
+        xp = np.pad(x, [(pad, pad) if a == axis else (0, 0)
+                        for a in range(x.ndim)], mode="edge")
+        c = np.cumsum(xp, axis=axis)
+        lead = np.take(c, range(k - 1, xp.shape[axis] - 1), axis=axis)
+        lag = np.take(c, range(0, xp.shape[axis] - k), axis=axis)
+        first = np.take(c, [k - 1], axis=axis)
+        x = np.concatenate([first, lead - lag], axis=axis) / k
+    return x
+
+
+def pixel_noise(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Sometimes(0.5, SomeOf(1-2, [blur|median, sharpen, noise]))
+    (reference folder2lmdb.py:29-42)."""
+    if rng.random() >= 0.5:
+        return img
+    ops = ["blur", "sharpen", "noise"]
+    rng.shuffle(ops)
+    n = int(rng.integers(1, 3))
+    out = img.astype(np.float32)
+    for op in ops[:n]:
+        if op == "blur":
+            k = int(rng.choice([3, 5]))
+            out = _box_blur(out, k)
+        elif op == "sharpen":
+            alpha = rng.uniform(0, 0.1)
+            light = rng.uniform(0.9, 1.1)
+            blurred = _box_blur(out, 3)
+            out = (1 - alpha) * out + alpha * np.clip(
+                out * light + (out - blurred) * 2.0, 0, 255)
+        else:
+            scale = rng.uniform(0.0, 0.03 * 255)
+            if rng.random() < 0.3:
+                noise = rng.normal(0, scale, out.shape)
+            else:
+                noise = rng.normal(0, scale, out.shape[:2])[..., None]
+            out = out + noise
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------- geometric ops
+
+def expand(img: np.ndarray, boxes: np.ndarray, filler, expand_scale: float,
+           rng: np.random.Generator, seg: np.ndarray | None = None):
+    """Zoom-out onto a filler canvas (reference :14-52). filler in [0,1]."""
+    h, w = img.shape[:2]
+    scale = rng.uniform(1.0, expand_scale)
+    new_h, new_w = int(scale * h), int(scale * w)
+    canvas = np.empty((new_h, new_w, 3), img.dtype)
+    canvas[:] = (np.asarray(filler, np.float32) * 255.0).astype(img.dtype)
+    left = int(rng.integers(0, new_w - w + 1))
+    top = int(rng.integers(0, new_h - h + 1))
+    canvas[top:top + h, left:left + w] = img
+    new_boxes = boxes + np.asarray([left, top, left, top], np.float32)
+    new_seg = None
+    if seg is not None:
+        new_seg = np.zeros((new_h, new_w), seg.dtype)
+        new_seg[top:top + h, left:left + w] = seg
+    return canvas, new_boxes, new_seg
+
+
+def random_crop(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
+                difficulties: np.ndarray, rng: np.random.Generator,
+                seg: np.ndarray | None = None):
+    """Min-overlap retry crop with center-keep filtering (reference :54-145)."""
+    h, w = img.shape[:2]
+    while True:
+        min_overlap = rng.choice([0.0, 0.1, 0.2, 0.3, 0.4, 0.5, None])
+        if min_overlap is None:
+            return img, boxes, labels, difficulties, seg
+        for _ in range(50):
+            min_scale = 0.5
+            scale_h = rng.uniform(min_scale, 1.0)
+            scale_w = rng.uniform(min_scale, 1.0)
+            new_h = int(scale_h * h)
+            new_w = int(scale_w * w)
+            aspect = new_h / new_w
+            if not 0.5 < aspect < 2:
+                continue
+            left = int(rng.integers(0, w - new_w + 1))
+            top = int(rng.integers(0, h - new_h + 1))
+            right, bottom = left + new_w, top + new_h
+            crop = np.asarray([left, top, right, bottom], np.float32)
+
+            if boxes.shape[0] > 0:
+                # jaccard overlap of the crop with each box
+                lower = np.maximum(crop[:2], boxes[:, :2])
+                upper = np.minimum(crop[2:], boxes[:, 2:])
+                wh = np.clip(upper - lower, 0, None)
+                inter = wh[:, 0] * wh[:, 1]
+                area_c = new_w * new_h
+                area_b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+                overlap = inter / (area_c + area_b - inter)
+                if overlap.max() < min_overlap:
+                    continue
+
+            new_img = img[top:bottom, left:right]
+            new_seg = seg[top:bottom, left:right] if seg is not None else None
+            if boxes.shape[0] > 0:
+                centers = (boxes[:, :2] + boxes[:, 2:]) / 2.0
+                keep = ((centers[:, 0] > left) & (centers[:, 0] < right)
+                        & (centers[:, 1] > top) & (centers[:, 1] < bottom))
+                if not keep.any():
+                    continue
+                nb = boxes[keep].copy()
+                nb[:, :2] = np.maximum(nb[:, :2], crop[:2]) - crop[:2]
+                nb[:, 2:] = np.minimum(nb[:, 2:], crop[2:]) - crop[:2]
+                return new_img, nb, labels[keep], difficulties[keep], new_seg
+            return new_img, boxes, labels, difficulties, new_seg
+
+
+def hflip(img: np.ndarray, boxes: np.ndarray, seg: np.ndarray | None = None):
+    """Horizontal flip with the reference's coordinate math (:147-166)."""
+    new_img = img[:, ::-1].copy()
+    new_seg = seg[:, ::-1].copy() if seg is not None else None
+    nb = boxes.copy()
+    w = img.shape[1]
+    nb[:, 0] = w - boxes[:, 0] - 1
+    nb[:, 2] = w - boxes[:, 2] - 1
+    nb = nb[:, [2, 1, 0, 3]]
+    return new_img, nb, new_seg
+
+
+def transform_od(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
+                 difficulties: np.ndarray, rng: np.random.Generator,
+                 mean=(0.5, 0.5, 0.5), phase: str = "train",
+                 allow_expand: bool = True, expand_scale: float = 1.5,
+                 seg: np.ndarray | None = None):
+    """Full train-time pipeline (reference :279-334): photometric ->
+    expand(p=.5) -> random crop -> hflip(p=.5). Test phase is identity."""
+    assert phase in ("train", "test")
+    if phase == "test":
+        return img, boxes, labels, difficulties, seg
+    img = photometric_distort(img, rng)
+    if rng.random() < 0.5 and allow_expand:
+        img, boxes, seg = expand(img, boxes, mean, expand_scale, rng, seg)
+    img, boxes, labels, difficulties, seg = random_crop(
+        img, boxes, labels, difficulties, rng, seg)
+    if rng.random() < 0.5:
+        img, boxes, seg = hflip(img, boxes, seg)
+    return img, boxes, labels, difficulties, seg

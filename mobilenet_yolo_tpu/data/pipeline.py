@@ -1,0 +1,230 @@
+"""Online training input pipeline.
+
+The counterpart of ``ImageFolderLMDB`` + ``GreedyBatchSampler`` + torch
+DataLoader (reference folder2lmdb.py:56-265, CustomBatchSampler.py:9-85,
+train.py:110-121): record decode, pixel noise + SSD augmentations, mosaic
+group composition, per-batch multiscale resize, normalization, fixed-size
+GT padding and /16 segmentation-map rasterization — all on host numpy with
+a background prefetch thread (the TPU step overlaps with it).
+
+Batches are dicts of fixed-shape arrays ready for the jitted train step:
+``images (B,H,W,3) f32``, ``gt (B,T,5)``, ``n_gt (B,)``,
+``seg_maps (B,H/16,W/16,C)`` when segmentation is on.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from mobilenet_yolo_tpu.data import augment
+from mobilenet_yolo_tpu.data.mosaic import group_indices, mosaic
+from mobilenet_yolo_tpu.data.records import RecordReader
+
+MOSAIC_CANVAS = (1000, 1000)  # reference folder2lmdb.py:172
+
+
+def _decode_jpeg(buf: bytes) -> np.ndarray:
+    """Decoded RGB uint8 HWC."""
+    import cv2
+    arr = np.frombuffer(buf, np.uint8)
+    img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+    if img is None:
+        raise IOError("cannot decode image record")
+    return img[..., ::-1].copy()  # BGR -> RGB
+
+
+def _decode_seg(buf: bytes) -> np.ndarray:
+    import cv2
+    arr = np.frombuffer(buf, np.uint8)
+    img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+
+
+def _resize(img: np.ndarray, w: int, h: int, area: bool = False) -> np.ndarray:
+    import cv2
+    interp = cv2.INTER_AREA if area else cv2.INTER_LINEAR
+    return cv2.resize(img, (w, h), interpolation=interp)
+
+
+class DetectionDataset:
+    """Decode + augment a single record (folder2lmdb.py:78-154)."""
+
+    def __init__(self, reader: RecordReader, phase: str = "train",
+                 expand_scale: float = 1.5, has_seg: bool = False,
+                 seg_num_classes: int = 0, apply_noise: bool = True):
+        self.reader = reader
+        self.phase = phase
+        self.expand_scale = expand_scale
+        self.has_seg = has_seg
+        self.seg_num_classes = seg_num_classes
+        self.apply_noise = apply_noise
+
+    def __len__(self):
+        return len(self.reader)
+
+    def get_single(self, index: int, rng: np.random.Generator,
+                   allow_expand: bool = True):
+        """Returns (image uint8 HWC RGB, labels (n,5) normalized cxcywh,
+        seg class-id map or None)."""
+        rec = self.reader[index]
+        img = _decode_jpeg(rec.image_bytes)
+        seg = _decode_seg(rec.seg_bytes) if (self.has_seg and rec.seg_bytes) else None
+
+        h, w = img.shape[:2]
+        labels = rec.labels
+        if labels.shape[0]:
+            cx, cy, bw, bh = (labels[:, 1], labels[:, 2], labels[:, 3], labels[:, 4])
+            boxes = np.stack([(cx - bw / 2) * w, (cy - bh / 2) * h,
+                              (cx + bw / 2) * w, (cy + bh / 2) * h], -1)
+        else:
+            boxes = np.zeros((0, 4), np.float32)
+        cls = labels[:, 0] if labels.shape[0] else np.zeros((0,), np.float32)
+        difficulties = np.zeros_like(cls)
+
+        if self.phase == "train" and self.apply_noise:
+            img = augment.pixel_noise(img, rng)
+        img, boxes, cls, difficulties, seg = augment.transform_od(
+            img, boxes, cls, difficulties, rng,
+            mean=(0.5, 0.5, 0.5), phase=self.phase,
+            allow_expand=allow_expand, expand_scale=self.expand_scale,
+            seg=seg)
+
+        nh, nw = img.shape[:2]
+        if boxes.shape[0]:
+            bw = (boxes[:, 2] - boxes[:, 0]) / nw
+            bh = (boxes[:, 3] - boxes[:, 1]) / nh
+            cx = boxes[:, 0] / nw + bw / 2
+            cy = boxes[:, 1] / nh + bh / 2
+            rows = np.stack([cls, cx, cy, bw, bh], -1).astype(np.float32)
+        else:
+            rows = np.zeros((0, 5), np.float32)
+        return img, rows, seg
+
+    def get_group(self, indices: list[int], rng: np.random.Generator):
+        """Group of 1 -> plain sample; group of N -> mosaic composite
+        (folder2lmdb.py:155-177; expand only for singles)."""
+        if len(indices) == 1:
+            img, rows, seg = self.get_single(indices[0], rng, allow_expand=True)
+            return img, rows, seg, 1
+        items = []
+        for idx in indices:
+            img, rows, _ = self.get_single(idx, rng, allow_expand=False)
+            items.append((img, rows))
+        img, rows = mosaic(items, MOSAIC_CANVAS, rng)
+        return img, rows, None, len(indices)
+
+
+class Loader:
+    """Batched iterator with mosaic grouping, multiscale collate and
+    optional background prefetch."""
+
+    def __init__(self, dataset: DetectionDataset, batch_size: int,
+                 transform_size, mean, std, mosaic_num=(1,),
+                 max_gt: int = 90, shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = False, prefetch: int = 2,
+                 pad_final: bool = True):
+        # pad_final keeps every batch at exactly batch_size samples by
+        # wrapping indices on the final partial batch — XLA compiles one
+        # program per (batch, H, W) shape, so ragged tail batches are a
+        # recompile per epoch otherwise. Semantically a no-op for training
+        # (an epoch sees a handful of duplicate samples).
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.transform_size = [tuple(s) for s in transform_size]
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.mosaic_num = list(mosaic_num)
+        self.max_gt = max_gt
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.pad_final = pad_final
+        self.epoch = 0
+
+    def __len__(self):
+        # progress counted in raw images, like the reference sampler
+        # (CustomBatchSampler.py:76-81)
+        return len(self.ds)
+
+    def _collate(self, samples, rng: np.random.Generator) -> dict:
+        """Random train size, resize+normalize+stack, GT pad, seg rasterize
+        (folder2lmdb.py:223-265)."""
+        w, h = self.transform_size[int(rng.integers(0, len(self.transform_size)))]
+        seg_w, seg_h = w // 16, h // 16
+        images = np.empty((len(samples), h, w, 3), np.float32)
+        gt = np.zeros((len(samples), self.max_gt, 5), np.float32)
+        n_gt = np.zeros((len(samples),), np.int32)
+        seg_maps = None
+        if self.ds.has_seg:
+            seg_maps = np.zeros((len(samples), seg_h, seg_w,
+                                 self.ds.seg_num_classes), np.float32)
+        count = 0
+        for i, (img, rows, seg, n_src) in enumerate(samples):
+            img = _resize(img, w, h).astype(np.float32) / 255.0
+            images[i] = (img - self.mean) / self.std
+            n = min(rows.shape[0], self.max_gt)
+            gt[i, :n] = rows[:n]
+            n_gt[i] = n
+            count += n_src
+            if seg_maps is not None and seg is not None:
+                for c in range(1, self.ds.seg_num_classes + 1):
+                    mask = (seg == c).astype(np.float32) * 255.0
+                    seg_maps[i, ..., c - 1] = _resize(mask, seg_w, seg_h,
+                                                      area=True) / 255.0
+        batch = {"images": images, "gt": gt, "n_gt": n_gt, "count": count}
+        if seg_maps is not None:
+            batch["seg_maps"] = seg_maps
+        return batch
+
+    def _epoch_batches(self) -> Iterator[dict]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            rng.shuffle(order)
+        if self.ds.phase == "train":
+            groups_iter = group_indices(order, self.batch_size,
+                                        self.mosaic_num, rng, self.drop_last)
+            for batch_groups in groups_iter:
+                if self.pad_final and len(batch_groups) < self.batch_size:
+                    n_pad = self.batch_size - len(batch_groups)
+                    batch_groups = batch_groups + [
+                        [int(order[int(rng.integers(0, len(order)))])]
+                        for _ in range(n_pad)]
+                samples = [self.ds.get_group(g, rng) for g in batch_groups]
+                yield self._collate(samples, rng)
+        else:
+            for i in range(0, len(order), self.batch_size):
+                idx = order[i:i + self.batch_size]
+                if self.drop_last and len(idx) < self.batch_size:
+                    break
+                samples = [self.ds.get_group([int(j)], rng) for j in idx]
+                yield self._collate(samples, rng)
+
+    def __iter__(self) -> Iterator[dict]:
+        self.epoch += 1
+        if self.prefetch <= 0:
+            yield from self._epoch_batches()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def producer():
+            try:
+                for b in self._epoch_batches():
+                    q.put(b)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+        t.join()

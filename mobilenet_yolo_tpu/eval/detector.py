@@ -1,0 +1,67 @@
+"""End-to-end jitted detection: model forward -> decode -> batched NMS.
+
+This replaces the reference's eval forward path (mbv2_yolo.py:158-166 with
+``targets=None`` -> yolo_loss.get_pred_boxes -> utils/box.nms host loop)
+with one fused XLA program per input shape. ``val_conf`` is a traced scalar
+so the feedback controller (reference train.py:434-440) never triggers a
+recompile.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobilenet_yolo_tpu.ops.anchors import scaled_anchors
+from mobilenet_yolo_tpu.ops.decode import decode_predictions, reshape_head
+from mobilenet_yolo_tpu.ops.nms import batched_nms
+
+
+def make_predict_fn(
+    model,
+    config: dict,
+    top_k: int = 256,
+    iou_threshold: float = 0.45,
+    use_pallas_nms: bool = False,
+) -> Callable:
+    """Build ``predict(variables, images, val_conf) -> (dets, keep[, seg])``.
+
+    * images: (B, H, W, 3) normalized NHWC batch
+    * dets:   (B, K, 7) ``(x1,y1,x2,y2,conf,cls_score,cls_idx)`` normalized
+    * keep:   (B, K) validity mask
+    * seg:    (B, H/16, W/16, seg_classes) sigmoid maps, if the model has a
+      segmentation head (reference seg_loss.py:78-81 eval branch)
+
+    Anchors are re-normalized per live input size, mirroring the reference's
+    per-forward ``img_size`` update (mbv2_yolo.py:139-140).
+    """
+    yolo_cfg = config["yolo"]
+    anchors_px = np.asarray(yolo_cfg["anchors"], np.float32)
+    masks = [np.asarray(m) for m in yolo_cfg["mask"]]
+    num_anchors = int(yolo_cfg["num_anchors"])
+
+    @partial(jax.jit, static_argnames=())
+    def predict(variables: Any, images: jax.Array, val_conf: jax.Array):
+        h, w = images.shape[1], images.shape[2]
+        anchors_norm = scaled_anchors(anchors_px, w, h)
+        outputs = model.apply(variables, images, train=False)
+
+        flats = []
+        for head_key, mask in zip(("out0", "out1"), masks):
+            pred = reshape_head(outputs[head_key], num_anchors)
+            flats.append(
+                decode_predictions(pred, jnp.asarray(anchors_norm[mask]))
+            )
+        preds = jnp.concatenate(flats, axis=1)
+        dets, keep = batched_nms(
+            preds, val_conf, top_k=top_k, iou_threshold=iou_threshold
+        )
+        if "seg" in outputs:
+            return dets, keep, jax.nn.sigmoid(outputs["seg"])
+        return dets, keep
+
+    return predict

@@ -1,0 +1,60 @@
+"""MobileNetV2 backbone (flax.linen, NHWC).
+
+Same graph as the reference models/mobilenetv2.py:94-144: a 3x3/2 stem,
+inverted-residual stages split into ``features`` (cfgs1, ends at 96 ch,
+stride 16) and ``features2`` (cfgs2) + a 1x1 conv to 1280 ch (stride 32).
+``__call__`` returns both taps ``(C4 stride-16, C5 stride-32)``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mobilenet_yolo_tpu.models.layers import ConvBNAct, InvertedResidual, make_divisible
+
+# (expand_ratio t, channels c, repeats n, stride s) — mobilenetv2.py:98-110
+CFGS_STAGE1 = [
+    (1, 16, 1, 1),
+    (6, 24, 2, 2),
+    (6, 32, 3, 2),
+    (6, 64, 4, 2),
+    (6, 96, 3, 1),
+]
+CFGS_STAGE2 = [
+    (6, 160, 3, 2),
+    (6, 320, 1, 1),
+]
+
+
+class MobileNetV2(nn.Module):
+    width_mult: float = 1.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        wm = self.width_mult
+        div = 4 if wm == 0.1 else 8
+        stem_ch = make_divisible(32 * wm, div)
+        x = ConvBNAct(stem_ch, 3, stride=2, act="relu6", dtype=self.dtype,
+                      name="stem")(x, train)
+
+        idx = 0
+        for t, c, n, s in CFGS_STAGE1:
+            out_ch = make_divisible(c * wm, div)
+            for i in range(n):
+                x = InvertedResidual(out_ch, s if i == 0 else 1, t,
+                                     dtype=self.dtype, name=f"block{idx}")(x, train)
+                idx += 1
+        c4 = x  # stride 16, 96 ch
+
+        for t, c, n, s in CFGS_STAGE2:
+            out_ch = make_divisible(c * wm, div)
+            for i in range(n):
+                x = InvertedResidual(out_ch, s if i == 0 else 1, t,
+                                     dtype=self.dtype, name=f"block{idx}")(x, train)
+                idx += 1
+        head_ch = make_divisible(1280 * wm, div) if wm > 1.0 else 1280
+        c5 = ConvBNAct(head_ch, 1, act="relu6", dtype=self.dtype,
+                       name="head_conv")(x, train)  # stride 32, 1280 ch
+        return c4, c5

@@ -1,0 +1,58 @@
+"""Orbax checkpointing with auto-resume.
+
+Replaces the reference's two torch formats (per-epoch state dict +
+whole-pickled-module best, train.py:425-433) with Orbax pytree snapshots
+carrying ``{params, batch_stats, opt_state, epoch, best_acc, val_conf}``;
+a retention policy keeps the latest N plus the best. ``restore_latest``
+gives the reference's ``--resume`` semantics (train.py:138-153) without
+naming a file.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from mobilenet_yolo_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=lambda m: m.get("mAP", 0.0),
+            best_mode="max",
+            keep_checkpoints_without_metrics=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: TrainState, mAP: float | None = None,
+             wait: bool = False):
+        metrics = {"mAP": float(mAP)} if mAP is not None else None
+        self._mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def restore(self, step: int, template: TrainState) -> TrainState:
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+    def restore_latest(self, template: TrainState) -> Optional[TrainState]:
+        step = self.latest_step()
+        if step is None:
+            return None
+        return self.restore(step, template)
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()

@@ -1,0 +1,201 @@
+"""Training loop driver.
+
+The counterpart of reference train.py:45-331 (``main``/``train``/``test``):
+epoch loop with the step-decay + warm-up LR schedule, per-batch jitted train
+step with running meters, alternate-epoch mAP evaluation with the val_conf
+feedback controller, Orbax checkpointing (latest + best), TSV logging,
+TensorBoard scalars and HPO report hooks.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobilenet_yolo_tpu.eval.detector import make_predict_fn
+from mobilenet_yolo_tpu.eval.evaluator import Evaluator
+from mobilenet_yolo_tpu.parallel.mesh import shard_batch
+from mobilenet_yolo_tpu.train.checkpoints import CheckpointManager
+from mobilenet_yolo_tpu.train.hpo import NoOpReport, ReportHook
+from mobilenet_yolo_tpu.train.schedule import learning_rate_for_epoch
+from mobilenet_yolo_tpu.train.state import TrainState, create_train_state, make_optimizer
+from mobilenet_yolo_tpu.train.step import make_eval_step, make_train_step
+from mobilenet_yolo_tpu.utils.logger import Logger
+from mobilenet_yolo_tpu.utils.meters import MeterDict
+
+
+class TensorBoardWriter:
+    """Scalar writer (reference train.py:49-51,200-217); no-op without TF."""
+
+    def __init__(self, logdir: Optional[str]):
+        self._writer = None
+        if logdir:
+            try:
+                import tensorflow as tf
+                self._writer = tf.summary.create_file_writer(logdir)
+            except Exception:
+                self._writer = None
+
+    def scalar(self, tag: str, value: float, step: int):
+        if self._writer is None:
+            return
+        import tensorflow as tf
+        with self._writer.as_default():
+            tf.summary.scalar(tag, float(value), step=step)
+        self._writer.flush()
+
+
+@dataclass
+class TrainerConfig:
+    epochs: int = 300
+    learning_rate: float = 7e-4
+    weight_decay: float = 4e-4
+    schedule: tuple = (100, 170, 240)
+    warm_up: tuple = ()
+    checkpoint_dir: str = "checkpoint"
+    eval_every: int = 2            # odd epochs evaluate (train.py:189,203)
+    log_suffix_every: int = 10
+    tensorboard_dir: Optional[str] = None
+    max_gt: int = 90
+
+
+class Trainer:
+    def __init__(self, model, model_cfg: dict, classes_name: list[str],
+                 cfg: TrainerConfig, segmentation: bool = False, mesh=None,
+                 report: ReportHook | None = None, verbose: bool = True):
+        self.model = model
+        self.model_cfg = model_cfg
+        self.classes_name = classes_name
+        self.cfg = cfg
+        self.segmentation = segmentation
+        self.mesh = mesh
+        self.report = report or NoOpReport()
+        self.verbose = verbose
+
+        img_size = (int(model_cfg["img_w"]), int(model_cfg["img_h"]))
+        self.state, self.tx = create_train_state(
+            model, jax.random.PRNGKey(0), img_size,
+            learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay)
+        self.train_step = make_train_step(model, model_cfg, self.tx,
+                                          segmentation=segmentation, mesh=mesh)
+        self.predict = make_predict_fn(model, model_cfg)
+        self.ckpt = CheckpointManager(cfg.checkpoint_dir)
+        self.tb = TensorBoardWriter(cfg.tensorboard_dir)
+        self.logger = None
+        self.best_acc = 0.0
+
+    # ------------------------------------------------------------- resume --
+    def maybe_resume(self) -> bool:
+        restored = self.ckpt.restore_latest(self.state)
+        if restored is None:
+            return False
+        self.state = restored
+        self.best_acc = float(restored.best_acc)
+        self._log(f"resumed from epoch {int(restored.epoch)}")
+        return True
+
+    def _log(self, msg: str):
+        if self.verbose:
+            print(msg, flush=True)
+
+    # -------------------------------------------------------------- train --
+    def train_epoch(self, loader: Iterable, epoch: int) -> dict:
+        lr = learning_rate_for_epoch(self.cfg.learning_rate, epoch,
+                                     self.cfg.schedule, self.cfg.warm_up)
+        self.state = self.state.with_lr(lr)
+        meters = MeterDict()
+        start = time.time()
+        for i, batch in enumerate(loader):
+            args = (jnp.asarray(batch["images"]), jnp.asarray(batch["gt"]),
+                    jnp.asarray(batch["n_gt"]))
+            seg = (jnp.asarray(batch["seg_maps"]),) if self.segmentation else ()
+            if self.mesh is not None:
+                args = shard_batch(self.mesh, args)
+                seg = shard_batch(self.mesh, seg)
+            self.state, metrics = self.train_step(self.state, *args, *seg)
+            bs = batch["images"].shape[0]
+            meters.update({k: float(v) for k, v in metrics.items()}, bs)
+            if self.verbose and i % self.cfg.log_suffix_every == 0:
+                a = meters.averages()
+                self._log(
+                    f"  e{epoch} b{i}: loss {a.get('loss', 0):.4f} "
+                    f"iou {(a.get('avg_iou0', 0) + a.get('avg_iou1', 0)) / 2:.3f} "
+                    f"obj {(a.get('obj0', 0) + a.get('obj1', 0)) / 2:.3f} "
+                    f"recall {(a.get('recall0', 0) + a.get('recall1', 0)) / 2:.3f}")
+        avgs = meters.averages()
+        avgs["lr"] = lr
+        avgs["epoch_time"] = time.time() - start
+        return avgs
+
+    # --------------------------------------------------------------- eval --
+    def evaluate(self, loader: Iterable, batch_size: int | None = None
+                 ) -> tuple[float, dict]:
+        ev = Evaluator(self.classes_name)
+        val_conf = jnp.asarray(self.state.val_conf)
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        for batch in loader:
+            images = jnp.asarray(batch["images"])
+            n = images.shape[0]
+            if batch_size is None:
+                batch_size = n  # pad every later (tail) batch to the first size
+            if n < batch_size:
+                images = jnp.concatenate(
+                    [images, jnp.zeros((batch_size - n,) + images.shape[1:],
+                                       images.dtype)])
+            out = self.predict(variables, images, val_conf)
+            dets, keep = out[0][:n], out[1][:n]
+            ev.add_batch(dets, keep, batch["gt"], batch["n_gt"])
+        new_conf = ev.adjusted_conf(float(self.state.val_conf))
+        self.state = self.state.replace(
+            val_conf=jnp.asarray(new_conf, jnp.float32))
+        aps, mAP, tp, fp = ev.compute()
+        self._log(f"  val_conf -> {new_conf:.3f}; mAP {mAP:.4f}")
+        return mAP, aps
+
+    # ---------------------------------------------------------------- fit --
+    def fit(self, train_loader_fn: Callable[[], Iterable],
+            eval_loader_fn: Callable[[], Iterable],
+            start_epoch: int | None = None) -> float:
+        cfg = self.cfg
+        if self.logger is None:
+            path = os.path.join(cfg.checkpoint_dir, "log.txt")
+            resume = os.path.isfile(path) and start_epoch != 0
+            self.logger = Logger(path, title="training-process", resume=resume)
+            self.logger.set_names(["Epoch", "Loss", "Precision", "Time",
+                                   "IOU", "LearningRate"])
+        first = int(self.state.epoch) if start_epoch is None else start_epoch
+        test_acc = 0.0
+        for epoch in range(first, cfg.epochs):
+            st = time.time()
+            stats = self.train_epoch(train_loader_fn(), epoch)
+            self.tb.scalar("Loss/train", stats.get("loss", 0.0), epoch)
+            iou = (stats.get("avg_iou0", 0) + stats.get("avg_iou1", 0)) / 2
+            self.tb.scalar("iou/train", iou, epoch)
+
+            self.state = self.state.replace(
+                epoch=jnp.asarray(epoch + 1, jnp.int32))
+            evaluate_now = (epoch % cfg.eval_every) == (cfg.eval_every - 1)
+            if evaluate_now:
+                test_acc, _ = self.evaluate(eval_loader_fn())
+                self.report.intermediate(test_acc)
+                self.best_acc = max(test_acc, self.best_acc)
+                self.state = self.state.replace(
+                    best_acc=jnp.asarray(self.best_acc, jnp.float32))
+                self.tb.scalar("Accuracy/test", test_acc, epoch + 1)
+                self.ckpt.save(epoch + 1, self.state, mAP=test_acc)
+            else:
+                self.ckpt.save(epoch + 1, self.state)
+            self.logger.append([epoch + 1, stats.get("loss", 0.0), test_acc,
+                                time.time() - st, iou, stats["lr"]])
+        self.report.final(self.best_acc)
+        self.ckpt.close()
+        if self.logger:
+            self.logger.close()
+        return self.best_acc

@@ -1,0 +1,134 @@
+"""Jitted train / eval steps (single-device and mesh-sharded).
+
+The reference hot loop (train.py:246-283) does: forward with losses inside
+the model, host-side metric reads, backward, AdamW step. Here the whole
+step — forward, two-head loss, optional segmentation loss, backward, AdamW
+update, BN-stat update, metric reduction — is one XLA program. Under a
+``data``-sharded mesh, GSPMD inserts the gradient all-reduce over ICI and
+BatchNorm batch statistics are computed globally for free (jnp.mean over a
+sharded axis lowers to a collective).
+
+Multiscale training (voc/config.yaml:4-9) is handled by compiling one step
+per (H, W) bucket — jit caches on shapes, so this is automatic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mobilenet_yolo_tpu.ops.anchors import scaled_anchors
+from mobilenet_yolo_tpu.ops.losses import seg_loss, yolo_head_loss
+from mobilenet_yolo_tpu.parallel.mesh import batch_sharding, replicated
+from mobilenet_yolo_tpu.train.state import TrainState
+
+HEAD_KEYS = ("out0", "out1")
+
+
+def make_loss_fn(model, config: dict, segmentation: bool = False) -> Callable:
+    """Pure loss over (params, batch_stats, batch) -> (loss, aux)."""
+    yolo_cfg = config["yolo"]
+    anchors_px = np.asarray(yolo_cfg["anchors"], np.float32)
+    masks = [list(m) for m in yolo_cfg["mask"]]
+    ignore_threshs = [float(t) for t in yolo_cfg["ignore_thresh"]]
+    iou_thresh = float(yolo_cfg["iou_thresh"])
+    iou_weighting = float(config.get("iou_weighting", 0.01))
+    num_classes = int(yolo_cfg["num_classes"])
+
+    def loss_fn(params, batch_stats, images, gt, n_gt, seg_maps=None, train=True):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            outputs, mutated = model.apply(variables, images, train=True,
+                                           mutable=["batch_stats"])
+            new_stats = mutated["batch_stats"]
+        else:
+            outputs = model.apply(variables, images, train=False)
+            new_stats = batch_stats
+
+        h, w = images.shape[1], images.shape[2]
+        anchors_norm = jnp.asarray(scaled_anchors(anchors_px, w, h))
+
+        total = jnp.asarray(0.0, jnp.float32)
+        metrics = {}
+        for i, (key, mask, ig) in enumerate(zip(HEAD_KEYS, masks, ignore_threshs)):
+            hl = yolo_head_loss(
+                outputs[key], gt, n_gt, anchors_norm, mask, num_classes,
+                ignore_thresh=ig, iou_thresh=iou_thresh,
+                iou_weighting=iou_weighting,
+            )
+            total = total + hl.loss
+            for mk, mv in hl.metrics.items():
+                metrics[f"{mk}{i}"] = mv
+
+        if segmentation:
+            sl, s_obj, s_no_obj = seg_loss(outputs["seg"], seg_maps)
+            total = total + sl
+            metrics["seg_obj"] = s_obj
+            metrics["seg_no_obj"] = s_no_obj
+        metrics["loss"] = total
+        return total, (new_stats, metrics)
+
+    return loss_fn
+
+
+def make_train_step(
+    model,
+    config: dict,
+    tx: optax.GradientTransformation,
+    segmentation: bool = False,
+    mesh=None,
+) -> Callable:
+    """Returns ``train_step(state, images, gt, n_gt[, seg_maps]) ->
+    (state, metrics)``, jitted (and GSPMD-sharded when a mesh is given)."""
+    loss_fn = make_loss_fn(model, config, segmentation)
+
+    def step(state: TrainState, images, gt, n_gt, seg_maps=None):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, images, gt, n_gt, seg_maps,
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    if mesh is not None:
+        repl = replicated(mesh)
+        data = batch_sharding(mesh)
+        in_sh = (repl, data, data, data) + ((data,) if segmentation else ())
+        return jax.jit(
+            step,
+            in_shardings=in_sh,
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model, config: dict, segmentation: bool = False,
+                   mesh=None) -> Callable:
+    """Loss/metric evaluation without parameter updates (running BN stats)."""
+    loss_fn = make_loss_fn(model, config, segmentation)
+
+    def step(state: TrainState, images, gt, n_gt, seg_maps=None):
+        _, (_, metrics) = loss_fn(state.params, state.batch_stats, images,
+                                  gt, n_gt, seg_maps, train=False)
+        return metrics
+
+    if mesh is not None:
+        repl = replicated(mesh)
+        data = batch_sharding(mesh)
+        in_sh = (repl, data, data, data) + ((data,) if segmentation else ())
+        return jax.jit(
+            step,
+            in_shardings=in_sh,
+            out_shardings=repl,
+        )
+    return jax.jit(step)

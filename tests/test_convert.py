@@ -1,0 +1,104 @@
+"""Torch-checkpoint converter structural tests: the mapping must cover the
+flax tree exactly (same paths, same shapes after OIHW->HWIO)."""
+
+import numpy as np
+import jax
+import pytest
+
+from tools.convert_torch import (
+    convert,
+    mbv2_backbone_mapping,
+    mbv2_yolo_mapping,
+)
+
+
+def _flax_tree(model, res=64):
+    import jax.numpy as jnp
+    x = jnp.zeros((1, res, res, 3), jnp.float32)
+    return model.init(jax.random.PRNGKey(0), x, train=False)
+
+
+def _paths(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_paths(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = np.asarray(v).shape
+    return out
+
+
+def _fake_torch_sd(mapping, flax_shapes):
+    """Synthesize a torch state_dict with reference names and shapes."""
+    sd = {}
+    for (col, *path), torch_key in mapping.items():
+        shape = flax_shapes[tuple(path)]
+        if path[-1] == "kernel" and len(shape) == 4:
+            shape = (shape[3], shape[2], shape[0], shape[1])  # HWIO->OIHW
+        sd[torch_key] = np.random.default_rng(0).normal(size=shape).astype(np.float32)
+    return sd
+
+
+@pytest.mark.parametrize("seg", [False, True])
+def test_mbv2_yolo_mapping_covers_tree(seg):
+    from mobilenet_yolo_tpu.models import MBv2YOLO
+    model = MBv2YOLO(num_classes=20, num_anchors=3,
+                     seg_num_classes=2 if seg else 0)
+    variables = _flax_tree(model)
+    mapping = mbv2_yolo_mapping(segmentation=seg)
+
+    flax_shapes = {}
+    flax_shapes.update(_paths(variables["params"]))
+    stats_shapes = _paths(variables["batch_stats"])
+
+    mapped_params = {tuple(p[1:]) for p in mapping if p[0] == "params"}
+    mapped_stats = {tuple(p[1:]) for p in mapping if p[0] == "batch_stats"}
+    assert mapped_params == set(flax_shapes.keys()), (
+        "param coverage mismatch: missing "
+        f"{set(flax_shapes) - mapped_params}, extra "
+        f"{mapped_params - set(flax_shapes)}")
+    assert mapped_stats == set(stats_shapes.keys())
+
+
+def test_convert_roundtrip_runs_forward():
+    import jax.numpy as jnp
+    from mobilenet_yolo_tpu.models import MBv2YOLO
+    model = MBv2YOLO(num_classes=20, num_anchors=3)
+    variables = _flax_tree(model)
+    mapping = mbv2_yolo_mapping()
+
+    shapes = _paths(variables["params"])
+    shapes.update(_paths(variables["batch_stats"]))
+    sd = _fake_torch_sd(mapping, shapes)
+    params, batch_stats = convert(sd, mapping)
+
+    # structural equality with the flax-initialized tree
+    assert _paths(params).keys() == _paths(variables["params"]).keys()
+    for path, shape in _paths(params).items():
+        assert shape == _paths(variables["params"])[path], path
+
+    out = model.apply({"params": jax.tree.map(jnp.asarray, params),
+                       "batch_stats": jax.tree.map(jnp.asarray, batch_stats)},
+                      jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out["out0"].shape == (1, 2, 2, 75)
+
+
+def test_kernel_transposed():
+    mapping = {("params", "stem", "conv", "kernel"): "features.0.0.weight"}
+    w = np.arange(2 * 3 * 3 * 3, dtype=np.float32).reshape(2, 3, 3, 3)  # OIHW
+    params, _ = convert({"features.0.0.weight": w}, mapping)
+    got = params["stem"]["conv"]["kernel"]
+    assert got.shape == (3, 3, 3, 2)  # HWIO
+    np.testing.assert_allclose(got, w.transpose(2, 3, 1, 0))
+
+
+def test_backbone_mapping_key_names():
+    """Spot-check the reference key naming (mobilenetv2.py graph)."""
+    m = mbv2_backbone_mapping("backbone.")
+    keys = set(m.values())
+    assert "backbone.features.0.0.weight" in keys            # stem conv
+    assert "backbone.features.1.conv.0.weight" in keys       # block0 dw
+    assert "backbone.features.13.conv.6.weight" in keys      # block12 project
+    assert "backbone.features2.0.conv.0.weight" in keys      # block13 expand
+    assert "backbone.conv.0.weight" in keys                  # head 1x1
+    assert "backbone.features.0.1.running_mean" in keys      # stem bn stats

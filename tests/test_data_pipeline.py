@@ -1,0 +1,159 @@
+"""Data pipeline tests: augmentation invariants, mosaic geometry, record
+pipeline end-to-end, grouped batch sampling."""
+
+import numpy as np
+import pytest
+
+from mobilenet_yolo_tpu.data import augment
+from mobilenet_yolo_tpu.data.mosaic import generate_mosaic_mask, group_indices, mosaic
+
+
+def _scene(rng, h=120, w=160):
+    img = rng.integers(0, 255, (h, w, 3), np.uint8)
+    boxes = np.asarray([[20, 30, 80, 90], [100, 10, 150, 60]], np.float32)
+    labels = np.asarray([1.0, 2.0], np.float32)
+    diffs = np.zeros(2, np.float32)
+    return img, boxes, labels, diffs
+
+
+def test_hflip_geometry(rng):
+    img, boxes, *_ = _scene(rng)
+    out, nb, _ = augment.hflip(img, boxes)
+    np.testing.assert_array_equal(out, img[:, ::-1])
+    # flipped box of [20,30,80,90] in a 160-wide image: x1=160-80-1, x2=160-20-1
+    np.testing.assert_allclose(nb[0], [79, 30, 139, 90])
+    assert (nb[:, 0] <= nb[:, 2]).all()
+
+
+def test_expand_contains_original(rng):
+    img, boxes, *_ = _scene(rng)
+    out, nb, _ = augment.expand(img, boxes, (0.5, 0.5, 0.5), 2.0, rng)
+    assert out.shape[0] >= img.shape[0] and out.shape[1] >= img.shape[1]
+    # box sizes preserved
+    np.testing.assert_allclose(nb[:, 2] - nb[:, 0], boxes[:, 2] - boxes[:, 0])
+    assert (nb >= 0).all()
+
+
+def test_random_crop_keeps_centered_boxes(rng):
+    img, boxes, labels, diffs = _scene(rng)
+    out, nb, nl, nd, _ = augment.random_crop(img, boxes, labels, diffs, rng)
+    assert out.ndim == 3 and nb.shape[0] == nl.shape[0] == nd.shape[0]
+    assert nb.shape[0] >= 1  # at least one box survives (center-keep rule)
+    assert (nb[:, :2] >= -1e-5).all()
+    assert (nb[:, 2] <= out.shape[1] + 1e-5).all()
+    assert (nb[:, 3] <= out.shape[0] + 1e-5).all()
+
+
+def test_photometric_preserves_shape_dtype(rng):
+    img, *_ = _scene(rng)
+    out = augment.photometric_distort(img, rng)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_pixel_noise_preserves_shape(rng):
+    img, *_ = _scene(rng)
+    out = augment.pixel_noise(img, rng)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_mosaic_mask_partitions():
+    rng = np.random.default_rng(0)
+    for num in (1, 2, 3, 4):
+        tiles = generate_mosaic_mask(num, (100, 100), rng)
+        assert len(tiles) == num
+        area = sum((t[2] - t[0]) * (t[3] - t[1]) for t in tiles)
+        assert area == 100 * 100  # exact partition
+
+
+def test_mosaic_composes_labels(rng):
+    group = []
+    for i in range(4):
+        img = rng.integers(0, 255, (100, 100, 3), np.uint8)
+        labels = np.asarray([[1 + i, 0.5, 0.5, 0.4, 0.4]], np.float32)
+        group.append((img, labels))
+    img, labels = mosaic(group, (200, 200), rng)
+    assert img.shape == (200, 200, 3)
+    assert labels.shape == (4, 5)
+    # boxes stay within the unit square
+    x1 = labels[:, 1] - labels[:, 3] / 2
+    y1 = labels[:, 2] - labels[:, 4] / 2
+    assert (x1 >= -1e-5).all() and (y1 >= -1e-5).all()
+    assert (labels[:, 1] + labels[:, 3] / 2 <= 1 + 1e-5).all()
+
+
+def test_group_indices_covers_all():
+    rng = np.random.default_rng(0)
+    batches = list(group_indices(range(100), 8, [1, 4], rng))
+    seen = [i for b in batches for g in b for i in g]
+    # a trailing partial mosaic bucket may be dropped (the reference sampler
+    # drops it too, CustomBatchSampler.py:54-73)
+    assert len(set(seen)) == len(seen)
+    assert sorted(seen) == list(range(len(seen)))
+    assert len(seen) > 100 - 4
+    for b in batches[:-1]:
+        assert len(b) == 8
+    for b in batches:
+        for g in b:
+            assert len(g) in (1, 4)
+
+
+def test_record_pipeline_end_to_end(tmp_path, rng):
+    cv2 = pytest.importorskip("cv2")
+    from mobilenet_yolo_tpu.data.pipeline import DetectionDataset, Loader
+    from mobilenet_yolo_tpu.data.records import RecordReader, RecordWriter
+
+    d = str(tmp_path / "shard")
+    with RecordWriter(d) as w:
+        for i in range(12):
+            img = rng.integers(0, 255, (80, 100, 3), np.uint8)
+            ok, buf = cv2.imencode(".jpg", img)
+            labels = np.asarray([[1 + i % 3, 0.5, 0.5, 0.4, 0.5]], np.float32)
+            w.append_record(buf.tobytes(), labels)
+
+    ds = DetectionDataset(RecordReader(d), phase="train", expand_scale=1.5)
+    loader = Loader(ds, batch_size=4, transform_size=[[64, 64], [96, 96]],
+                    mean=[0.5] * 3, std=[1.0] * 3, mosaic_num=[1, 4],
+                    max_gt=10, prefetch=0)
+    batches = list(loader)
+    assert len(batches) >= 1
+    for b in batches:
+        bsz, h, w_, c = b["images"].shape
+        assert (h, w_) in ((64, 64), (96, 96)) and c == 3
+        assert b["gt"].shape == (bsz, 10, 5)
+        assert (b["n_gt"] >= 0).all()
+        assert np.isfinite(b["images"]).all()
+
+    # test phase: deterministic order, no aug
+    ds_t = DetectionDataset(RecordReader(d), phase="test")
+    loader_t = Loader(ds_t, batch_size=4, transform_size=[[64, 64]],
+                      mean=[0.5] * 3, std=[1.0] * 3, shuffle=False, prefetch=0)
+    bt = list(loader_t)
+    assert sum(b["images"].shape[0] for b in bt) == 12
+    assert all(b["n_gt"].max() <= 1 for b in bt)
+
+
+def test_seg_rasterization(tmp_path, rng):
+    cv2 = pytest.importorskip("cv2")
+    from mobilenet_yolo_tpu.data.pipeline import DetectionDataset, Loader
+    from mobilenet_yolo_tpu.data.records import RecordReader, RecordWriter
+
+    d = str(tmp_path / "shard")
+    seg = np.zeros((80, 100), np.uint8)
+    seg[:40, :] = 1
+    seg[40:, :] = 2
+    seg_bgr = np.repeat(seg[..., None], 3, -1)
+    with RecordWriter(d) as w:
+        img = rng.integers(0, 255, (80, 100, 3), np.uint8)
+        ok, jbuf = cv2.imencode(".jpg", img)
+        ok, sbuf = cv2.imencode(".png", seg_bgr)
+        w.append_record(jbuf.tobytes(),
+                        np.asarray([[1, 0.5, 0.5, 0.5, 0.5]], np.float32),
+                        sbuf.tobytes())
+    ds = DetectionDataset(RecordReader(d), phase="test", has_seg=True,
+                          seg_num_classes=2)
+    loader = Loader(ds, 1, [[64, 64]], [0.5] * 3, [1.0] * 3, prefetch=0)
+    b = next(iter(loader))
+    assert b["seg_maps"].shape == (1, 4, 4, 2)
+    # top half class 1, bottom half class 2
+    assert b["seg_maps"][0, 0, 0, 0] > 0.9
+    assert b["seg_maps"][0, 3, 0, 1] > 0.9

@@ -1,0 +1,77 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mobilenet_yolo_tpu.data.synthetic import synthetic_batches
+from mobilenet_yolo_tpu.models import MBv2YOLO
+from mobilenet_yolo_tpu.parallel import batch_sharding, create_mesh, shard_batch
+from mobilenet_yolo_tpu.train import create_train_state, make_train_step
+
+CFG = {
+    "img_w": 64, "img_h": 64, "iou_weighting": 0.02,
+    "yolo": {
+        "num_classes": 3, "num_anchors": 3,
+        "ignore_thresh": [0.6, 0.55], "iou_thresh": 0.55,
+        "anchors": [[20, 24], [30, 30], [44, 40],
+                    [6, 8], [10, 14], [14, 10]],
+        "mask": [[0, 1, 2], [3, 4, 5]],
+    },
+}
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_shapes():
+    mesh = create_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = create_mesh(n_data=4, n_model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_data_parallel_train_step_matches_single_device():
+    """One DP step over 8 devices must produce the same params as the same
+    step on one device (deterministic data, full-batch BN reduction)."""
+    model = MBv2YOLO(num_classes=3, num_anchors=3, width_mult=0.35)
+    batches = list(synthetic_batches(1, batch_size=8, img_size=64,
+                                     num_classes=3, seed=3))
+    images, gt, n_gt = batches[0]
+
+    # single device
+    state1, tx1 = create_train_state(model, jax.random.PRNGKey(0), (64, 64),
+                                     learning_rate=1e-3, batch_size=8)
+    step1 = make_train_step(model, CFG, tx1)
+    state1, m1 = step1(state1, jnp.asarray(images), jnp.asarray(gt),
+                       jnp.asarray(n_gt))
+
+    # 8-device mesh
+    mesh = create_mesh()
+    state8, tx8 = create_train_state(model, jax.random.PRNGKey(0), (64, 64),
+                                     learning_rate=1e-3, batch_size=8)
+    step8 = make_train_step(model, CFG, tx8, mesh=mesh)
+    sharded = shard_batch(mesh, (jnp.asarray(images), jnp.asarray(gt),
+                                 jnp.asarray(n_gt)))
+    state8, m8 = step8(state8, *sharded)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=2e-4)
+    l1 = jax.tree_util.tree_leaves(state1.params)
+    l8 = jax.tree_util.tree_leaves(state8.params)
+    for a, b in zip(l1, l8):
+        # different all-reduce orders can flip the AdamW update sign on
+        # near-zero gradients, moving a weight by exactly +-2*lr; allow one
+        # lr-step of slack (2e-3 here) on isolated elements
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2.5e-3)
+
+
+def test_batch_is_actually_sharded():
+    mesh = create_mesh()
+    x = jnp.zeros((16, 8, 8, 3))
+    xs = shard_batch(mesh, x)
+    assert xs.sharding == batch_sharding(mesh)
+    # each device holds 1/8 of the batch
+    assert xs.addressable_shards[0].data.shape[0] == 2

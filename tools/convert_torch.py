@@ -1,0 +1,203 @@
+"""Convert reference PyTorch checkpoints to flax variable trees.
+
+Handles both reference formats (train.py:425-433): per-epoch dicts with a
+``model`` state_dict, and the whole-pickled-module ``model_best.pth.tar``
+(loaded via its state_dict, like inference.py:127-148). Also converts bare
+ImageNet MobileNetV2 backbones (mobilenetv2.py:160-185), including the
+``features2.N -> features.14+N`` key remap.
+
+Layout mapping:
+
+* conv weights: torch OIHW -> flax HWIO (transpose 2,3,1,0); depthwise convs
+  (groups == out_channels) map (C,1,kh,kw) -> (kh,kw,1,C) under the same
+  transpose, matching ``feature_group_count``
+* BatchNorm: weight->scale, bias->bias, running_mean/var -> batch_stats
+
+Usage:
+    python tools/convert_torch.py --torch <ckpt.pth.tar> --out <params.npz> \
+        [--what full|backbone]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+# --- torch-key templates ---------------------------------------------------
+
+_BN_SUFFIX = {"scale": "weight", "bias": "bias"}
+_BN_STATS_SUFFIX = {"mean": "running_mean", "var": "running_var"}
+
+
+def _conv(prefix):
+    return {("params", "conv", "kernel"): f"{prefix}.weight"}
+
+
+def _bn(prefix):
+    d = {("params", "bn", k): f"{prefix}.{v}" for k, v in _BN_SUFFIX.items()}
+    d.update({("batch_stats", "bn", k): f"{prefix}.{v}"
+              for k, v in _BN_STATS_SUFFIX.items()})
+    return d
+
+
+def _conv_bn(flax_name, torch_conv, torch_bn):
+    """ConvBNAct module -> {flax subpath: torch key}."""
+    out = {}
+    for (col, sub, leaf), tk in {**_conv(torch_conv), **_bn(torch_bn)}.items():
+        out[(col, flax_name, sub, leaf)] = tk
+    return out
+
+
+def mbv2_backbone_mapping(prefix: str = "backbone.") -> dict:
+    """MobileNetV2 (reference models/mobilenetv2.py:94-144)."""
+    m = {}
+    # stem: features.0 = Sequential(conv, bn, relu6)
+    m.update(_conv_bn("stem", f"{prefix}features.0.0", f"{prefix}features.0.1"))
+    # 17 inverted-residual blocks: features.1..13 + features2.0..3
+    n_blocks_stage1 = 13
+    for i in range(17):
+        if i < n_blocks_stage1:
+            tp = f"{prefix}features.{i + 1}.conv"
+        else:
+            tp = f"{prefix}features2.{i - n_blocks_stage1}.conv"
+        if i == 0:
+            # expand_ratio == 1: conv = [dw, bn, act, pw, bn]
+            layers = {"depthwise": (0, 1), "project": (3, 4)}
+        else:
+            # conv = [pw, bn, act, dw, bn, act, pw, bn]
+            layers = {"expand": (0, 1), "depthwise": (3, 4), "project": (6, 7)}
+        for sub, (ci, bi) in layers.items():
+            for (col, name, s2, leaf), tk in _conv_bn(
+                    sub, f"{tp}.{ci}", f"{tp}.{bi}").items():
+                m[(col, f"block{i}", name, s2, leaf)] = tk
+    # final 1x1: backbone.conv = Sequential(conv, bn, relu6)
+    m.update(_conv_bn("head_conv", f"{prefix}conv.0", f"{prefix}conv.1"))
+    return m
+
+
+def _basic_conv(flax_name, torch_prefix):
+    """BasicConv (mbv2_yolo.py:16-44): .conv + .bn submodules."""
+    return _conv_bn(flax_name, f"{torch_prefix}.conv", f"{torch_prefix}.bn")
+
+
+def _connect(flax_name, torch_prefix):
+    """Connect (mbv2_yolo.py:93-104): conv = Sequential(BasicConv dw, BasicConv pw)."""
+    m = {}
+    for sub, idx in (("dw", 0), ("pw", 1)):
+        for (col, n, s2, leaf), tk in _basic_conv(
+                sub, f"{torch_prefix}.conv.{idx}").items():
+            m[(col, flax_name, n, s2, leaf)] = tk
+    return m
+
+
+def _dwconv3(flax_name, torch_prefix):
+    """DepthwiseConvolution (mbv2_yolo.py:70-76): Sequential of 3 BasicConv."""
+    m = {}
+    for sub, idx in (("dw", 0), ("pw1", 1), ("pw2", 2)):
+        for (col, n, s2, leaf), tk in _basic_conv(
+                sub, f"{torch_prefix}.{idx}").items():
+            m[(col, flax_name, n, s2, leaf)] = tk
+    return m
+
+
+def _head(flax_name, torch_prefix):
+    """yolo_head/seg_head (mbv2_yolo.py:77-92): 3 BasicConv + biased 1x1."""
+    m = {}
+    for sub, idx in (("dw", 0), ("pw1", 1), ("pw2", 2)):
+        for (col, n, s2, leaf), tk in _basic_conv(
+                sub, f"{torch_prefix}.{idx}").items():
+            m[(col, flax_name, n, s2, leaf)] = tk
+    m[("params", flax_name, "out", "kernel")] = f"{torch_prefix}.3.weight"
+    m[("params", flax_name, "out", "bias")] = f"{torch_prefix}.3.bias"
+    return m
+
+
+def mbv2_yolo_mapping(segmentation: bool = False) -> dict:
+    """Full MBv2-YOLO detector (reference mbv2_yolo.py:105-135)."""
+    m = {}
+    for (col, *path), tk in mbv2_backbone_mapping("backbone.").items():
+        m[(col, "backbone", *path)] = tk
+    m.update(_basic_conv("conv_for_S32", "conv_for_S32"))
+    m.update(_connect("connect_for_S32", "connect_for_S32"))
+    m.update(_head("yolo_headS32", "yolo_headS32"))
+    m.update(_dwconv3("conv_for_S16", "conv_for_S16"))
+    m.update(_connect("connect_for_S16", "connect_for_S16"))
+    m.update(_head("yolo_headS16", "yolo_headS16"))
+    if segmentation:
+        m.update(_dwconv3("seg_conv_for_S16", "seg_conv_for_S16"))
+        m.update(_connect("seg_connect_for_S16", "seg_connect_for_S16"))
+        m.update(_head("seg_headS16", "seg_headS16"))
+    return m
+
+
+def convert(state_dict: dict, mapping: dict) -> tuple[dict, dict]:
+    """torch state_dict -> (params, batch_stats) nested numpy dicts."""
+    params: dict = {}
+    batch_stats: dict = {}
+    missing = []
+    for (col, *path), torch_key in mapping.items():
+        if torch_key not in state_dict:
+            missing.append(torch_key)
+            continue
+        w = np.asarray(state_dict[torch_key])
+        leaf = path[-1]
+        if leaf == "kernel" and w.ndim == 4:
+            w = w.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        tree = params if col == "params" else batch_stats
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[leaf] = w
+    if missing:
+        print(f"warning: {len(missing)} torch keys missing, e.g. {missing[:5]}",
+              file=sys.stderr)
+    return params, batch_stats
+
+
+def load_torch_state_dict(path: str) -> dict:
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()        # whole pickled module (model_best)
+    elif isinstance(obj, dict) and "model" in obj:
+        obj = obj["model"]            # per-epoch checkpoint dict
+    elif isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    # ImageNet backbone remap (mobilenetv2.py:167-179)
+    remapped = {}
+    for k, v in obj.items():
+        k = k.replace("module.", "")
+        for i in range(4):
+            k = k.replace(f"features2.{i}.", f"features.{14 + i}.")
+        remapped[k] = v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return remapped
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--torch", required=True, help="input .pth[.tar]")
+    parser.add_argument("--out", required=True, help="output .npz")
+    parser.add_argument("--what", default="full",
+                        choices=["full", "full_seg", "backbone"])
+    args = parser.parse_args(argv)
+
+    sd = load_torch_state_dict(args.torch)
+    if args.what == "backbone":
+        # bare ImageNet MobileNetV2 (keys without the 'backbone.' prefix);
+        # flax paths still live under the detector's 'backbone' module
+        mapping = {(k[0], "backbone", *k[1:]): v
+                   for k, v in mbv2_backbone_mapping("").items()}
+        params, batch_stats = convert(sd, mapping)
+    else:
+        params, batch_stats = convert(
+            sd, mbv2_yolo_mapping(segmentation=(args.what == "full_seg")))
+
+    from mobilenet_yolo_tpu.tools_io import save_params_npz
+    save_params_npz(args.out, params, batch_stats)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
