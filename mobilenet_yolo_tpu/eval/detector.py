@@ -26,7 +26,7 @@ def make_predict_fn(
     config: dict,
     top_k: int = 256,
     iou_threshold: float = 0.45,
-    use_pallas_nms: bool = False,
+    use_pallas_nms: bool | None = None,
 ) -> Callable:
     """Build ``predict(variables, images, val_conf) -> (dets, keep[, seg])``.
 
@@ -43,6 +43,12 @@ def make_predict_fn(
     anchors_px = np.asarray(yolo_cfg["anchors"], np.float32)
     masks = [np.asarray(m) for m in yolo_cfg["mask"]]
     num_anchors = int(yolo_cfg["num_anchors"])
+    if use_pallas_nms is None:
+        # A/B on v5e (batch 128, K=256): the vmapped XLA scan wins (19.8ms
+        # vs 28.4ms full-pipeline) because it vectorizes the scan across
+        # the whole batch while the per-image Pallas grid serializes; keep
+        # XLA as the default until the batched-kernel variant lands
+        use_pallas_nms = False
 
     @partial(jax.jit, static_argnames=())
     def predict(variables: Any, images: jax.Array, val_conf: jax.Array):
@@ -58,7 +64,8 @@ def make_predict_fn(
             )
         preds = jnp.concatenate(flats, axis=1)
         dets, keep = batched_nms(
-            preds, val_conf, top_k=top_k, iou_threshold=iou_threshold
+            preds, val_conf, top_k=top_k, iou_threshold=iou_threshold,
+            use_pallas=use_pallas_nms,
         )
         if "seg" in outputs:
             return dets, keep, jax.nn.sigmoid(outputs["seg"])

@@ -25,10 +25,11 @@ from jax.experimental.pallas import tpu as pltpu
 def _suppress_kernel(over_ref, valid_ref, keep_ref):
     k = over_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    valid = valid_ref[0, 0:1, :]                            # (1, K)
 
     def body(i, state):
         suppressed, keep = state
-        alive_vec = valid_ref[:] * (1.0 - suppressed)       # (1, K)
+        alive_vec = valid * (1.0 - suppressed)              # (1, K)
         onehot = (col == i).astype(jnp.float32)
         alive_i = jnp.sum(alive_vec * onehot)               # scalar in {0,1}
         keep = keep + alive_vec * onehot                    # writes keep[i]
@@ -38,7 +39,7 @@ def _suppress_kernel(over_ref, valid_ref, keep_ref):
 
     zeros = jnp.zeros((1, k), jnp.float32)
     _, keep = jax.lax.fori_loop(0, k, body, (zeros, zeros))
-    keep_ref[:] = keep
+    keep_ref[0, :, :] = jnp.broadcast_to(keep, keep_ref.shape[1:])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -52,17 +53,21 @@ def pallas_suppress(over, valid, interpret: bool = False):
     Returns keep: (B, K) bool.
     """
     b, k, _ = over.shape
+    # TPU tiling wants the last two block dims divisible by (8, 128);
+    # vector operands are carried as (B, 8, K) with row 0 live
+    valid8 = jnp.broadcast_to(valid.astype(jnp.float32)[:, None, :], (b, 8, k))
     keep = pl.pallas_call(
         _suppress_kernel,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, k, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, k), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 8, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 8, k), jnp.float32),
         interpret=interpret,
-    )(over.astype(jnp.float32), valid.astype(jnp.float32))
-    return keep > 0.5
+    )(over.astype(jnp.float32), valid8)
+    return keep[:, 0, :] > 0.5
