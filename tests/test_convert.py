@@ -9,6 +9,7 @@ from tools.convert_torch import (
     convert,
     mbv2_backbone_mapping,
     mbv2_yolo_mapping,
+    mbv3_yolo_mapping,
 )
 
 
@@ -90,6 +91,32 @@ def test_kernel_transposed():
     got = params["stem"]["conv"]["kernel"]
     assert got.shape == (3, 3, 3, 2)  # HWIO
     np.testing.assert_allclose(got, w.transpose(2, 3, 1, 0))
+
+
+def test_mbv3_yolo_mapping_covers_tree():
+    from mobilenet_yolo_tpu.models import MBv3YOLO
+    model = MBv3YOLO(num_classes=20, num_anchors=3)
+    variables = _flax_tree(model)
+    mapping = mbv3_yolo_mapping()
+    flax_params = set(_paths(variables["params"]).keys())
+    flax_stats = set(_paths(variables["batch_stats"]).keys())
+    mapped_params = {tuple(p[1:]) for p in mapping if p[0] == "params"}
+    mapped_stats = {tuple(p[1:]) for p in mapping if p[0] == "batch_stats"}
+    assert mapped_params == flax_params, (
+        f"missing {flax_params - mapped_params}, extra "
+        f"{mapped_params - flax_params}")
+    assert mapped_stats == flax_stats
+
+
+def test_mbv3_mapping_key_names():
+    m = mbv3_yolo_mapping()
+    keys = set(m.values())
+    assert "backbone.conv1.weight" in keys                    # stem
+    assert "backbone.bneck.3.se.se.0.weight" in keys          # first SE block
+    assert "backbone.bneck.10.shortcut.0.weight" in keys      # stride-1 ch change
+    assert "backbone.bneck2.0.conv2.weight" in keys           # stage-2 dw
+    assert "backbone.conv2.weight" in keys                    # 960 head conv
+    assert "yolo_headS16.3.bias" in keys
 
 
 def test_backbone_mapping_key_names():

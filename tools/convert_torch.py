@@ -132,6 +132,60 @@ def mbv2_yolo_mapping(segmentation: bool = False) -> dict:
     return m
 
 
+def mbv3_backbone_mapping(prefix: str = "backbone.") -> dict:
+    """MobileNetV3-Large (reference models/mobilenetv3.py:77-136).
+
+    torch names: conv1/bn1 stem, bneck.{0..12} + bneck2.{0,1} Blocks with
+    conv1/bn1 (expand), conv2/bn2 (depthwise), conv3/bn3 (project), optional
+    se (SeModule.se Sequential: 0 conv, 1 bn, 3 conv, 4 bn) and a
+    conv+bn ``shortcut`` Sequential when stride==1 and channels change.
+    """
+    from mobilenet_yolo_tpu.models.mobilenetv3 import LARGE_STAGE1, LARGE_STAGE2
+
+    m = {}
+    m.update(_conv_bn("stem", f"{prefix}conv1", f"{prefix}bn1"))
+
+    def block(flax_name, tp, spec, in_ch):
+        _, _, out_ch, _, use_se, stride = spec
+        sub = {}
+        sub.update(_conv_bn("expand", f"{tp}.conv1", f"{tp}.bn1"))
+        sub.update(_conv_bn("depthwise", f"{tp}.conv2", f"{tp}.bn2"))
+        sub.update(_conv_bn("project", f"{tp}.conv3", f"{tp}.bn3"))
+        if use_se:
+            sub.update({(c, "se", n, s, l): tk for (c, n, s, l), tk in
+                        {**_conv_bn("fc1", f"{tp}.se.se.0", f"{tp}.se.se.1"),
+                         **_conv_bn("fc2", f"{tp}.se.se.3", f"{tp}.se.se.4")}.items()})
+        if stride == 1 and in_ch != out_ch:
+            sub.update(_conv_bn("shortcut", f"{tp}.shortcut.0", f"{tp}.shortcut.1"))
+        for (c, *path), tk in sub.items():
+            if path[0] == "se":
+                m[(c, flax_name, *path)] = tk
+            else:
+                m[(c, flax_name, *path)] = tk
+        return out_ch
+
+    in_ch = 16
+    for i, spec in enumerate(LARGE_STAGE1):
+        in_ch = block(f"bneck{i}", f"{prefix}bneck.{i}", spec, in_ch)
+    for i, spec in enumerate(LARGE_STAGE2):
+        in_ch = block(f"bneck2_{i}", f"{prefix}bneck2.{i}", spec, in_ch)
+    m.update(_conv_bn("head_conv", f"{prefix}conv2", f"{prefix}bn2"))
+    return m
+
+
+def mbv3_yolo_mapping() -> dict:
+    """MBv3-YOLO detector (reference models/mbv3_yolo.py:97-121)."""
+    m = {}
+    for (col, *path), tk in mbv3_backbone_mapping("backbone.").items():
+        m[(col, "backbone", *path)] = tk
+    m.update(_dwconv3("conv_for_S32", "conv_for_S32"))
+    m.update(_connect("connect_for_S32", "connect_for_S32"))
+    m.update(_head("yolo_headS32", "yolo_headS32"))
+    m.update(_connect("connect_for_S16", "connect_for_S16"))
+    m.update(_head("yolo_headS16", "yolo_headS16"))
+    return m
+
+
 def convert(state_dict: dict, mapping: dict) -> tuple[dict, dict]:
     """torch state_dict -> (params, batch_stats) nested numpy dicts."""
     params: dict = {}
@@ -180,16 +234,20 @@ def main(argv=None):
     parser.add_argument("--torch", required=True, help="input .pth[.tar]")
     parser.add_argument("--out", required=True, help="output .npz")
     parser.add_argument("--what", default="full",
-                        choices=["full", "full_seg", "backbone"])
+                        choices=["full", "full_seg", "backbone",
+                                 "mbv3", "mbv3_backbone"])
     args = parser.parse_args(argv)
 
     sd = load_torch_state_dict(args.torch)
-    if args.what == "backbone":
-        # bare ImageNet MobileNetV2 (keys without the 'backbone.' prefix);
+    if args.what in ("backbone", "mbv3_backbone"):
+        # bare pretrained backbone (keys without the 'backbone.' prefix);
         # flax paths still live under the detector's 'backbone' module
-        mapping = {(k[0], "backbone", *k[1:]): v
-                   for k, v in mbv2_backbone_mapping("").items()}
+        base = (mbv2_backbone_mapping("") if args.what == "backbone"
+                else mbv3_backbone_mapping(""))
+        mapping = {(k[0], "backbone", *k[1:]): v for k, v in base.items()}
         params, batch_stats = convert(sd, mapping)
+    elif args.what == "mbv3":
+        params, batch_stats = convert(sd, mbv3_yolo_mapping())
     else:
         params, batch_stats = convert(
             sd, mbv2_yolo_mapping(segmentation=(args.what == "full_seg")))
