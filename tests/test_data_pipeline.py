@@ -157,3 +157,30 @@ def test_seg_rasterization(tmp_path, rng):
     # top half class 1, bottom half class 2
     assert b["seg_maps"][0, 0, 0, 0] > 0.9
     assert b["seg_maps"][0, 3, 0, 1] > 0.9
+
+
+def test_grain_loader_matches_contract(tmp_path, rng):
+    cv2 = pytest.importorskip("cv2")
+    pytest.importorskip("grain")
+    from mobilenet_yolo_tpu.data.grain_pipeline import GrainLoader
+    from mobilenet_yolo_tpu.data.pipeline import DetectionDataset
+    from mobilenet_yolo_tpu.data.records import RecordReader, RecordWriter
+
+    d = str(tmp_path / "shard")
+    with RecordWriter(d) as w:
+        for i in range(10):
+            img = rng.integers(0, 255, (60, 80, 3), np.uint8)
+            ok, buf = cv2.imencode(".jpg", img)
+            labels = np.asarray([[1 + i % 2, 0.5, 0.5, 0.4, 0.5]], np.float32)
+            w.append_record(buf.tobytes(), labels)
+
+    ds = DetectionDataset(RecordReader(d), phase="train", apply_noise=False)
+    loader = GrainLoader(ds, batch_size=4, transform_size=[[64, 64]],
+                         mean=[0.5] * 3, std=[1.0] * 3, mosaic_num=[1, 2],
+                         max_gt=8, prefetch=0)
+    batches = list(loader)
+    assert batches, "grain loader yielded nothing"
+    for b in batches:
+        assert b["images"].shape == (4, 64, 64, 3)
+        assert b["gt"].shape == (4, 8, 5)
+        assert np.isfinite(b["images"]).all()
