@@ -1,0 +1,260 @@
+"""Fused inverted-residual Pallas kernel (inference).
+
+A stride-1 MobileNetV2 bottleneck materialises its 6x-expanded hidden
+activation in HBM three times (expand write, depthwise read+write, project
+read) — the dominant bandwidth cost of the early high-resolution blocks of
+the ~10ms single-chip forward at batch 128, 352x352. This kernel keeps the
+hidden tensor entirely in VMEM:
+
+    x_tile -> 1x1 expand (MXU) -> ReLU6 -> 3x3 depthwise (9 rolled VPU
+    FMAs) -> ReLU6 -> 1x1 project (MXU) [-> + residual] -> out_tile
+
+BatchNorms are pre-folded into the conv weights/biases by the caller
+(models/fused_mbv2.py), so the kernel sees plain conv+bias.
+
+Layout/tiling notes (v5e):
+* grid over (batch, row-tiles); the input row window overlaps (TH+2 rows
+  per TH-row output tile), which BlockSpecs can't express, so the input
+  stays in HBM and each program DMAs its window into scratch.
+* the width axis is the sublane dim: padded to a multiple of 8 so the DMA
+  slice is tile-aligned; the 3x3 depthwise uses ``pltpu.roll`` on that axis
+  (wrap-around terms land on masked-to-zero padding columns).
+* the unfused op zero-pads the *hidden* tensor into the depthwise conv, so
+  the kernel masks the padding ring after the (bias-carrying) expansion.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _fused_block_kernel(xa_ref, xb_ref, w1_ref, b1_ref, wdw_ref, bdw_ref,
+                        w2_ref, b2_ref, out_ref, *, th: int, height: int,
+                        width: int, residual: bool):
+    t = pl.program_id(1)
+    _, _, wp, cin = xa_ref.shape        # (1, TH, Wp, Cin)
+    tr = th + 2
+    ch = w1_ref.shape[1]
+
+    # rows [t*th, t*th+th) + 2 halo rows from the next row-block
+    x = jnp.concatenate([xa_ref[0], xb_ref[0, :2]], axis=0)  # (TH+2, Wp, Cin)
+
+    # 1x1 expand on the MXU + folded-BN bias + ReLU6
+    h = jnp.dot(x.reshape(tr * wp, cin), w1_ref[:],
+                preferred_element_type=jnp.float32)
+    h = h + b1_ref[:]
+    # stays f32: tpu.dynamic_rotate (roll) has no sub-32-bit lowering
+    h = jnp.clip(h, 0.0, 6.0).reshape(tr, wp, ch)
+
+    # zero the padding ring (incl. width-alignment columns) so the depthwise
+    # sees a zero-padded hidden tensor, as the unfused op does
+    grow = t * th + jax.lax.broadcasted_iota(jnp.int32, (tr, wp, 1), 0)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (tr, wp, 1), 1)
+    interior = ((grow > 0) & (grow < height + 1)
+                & (gcol > 0) & (gcol < width + 1))
+    h = h * interior.astype(h.dtype)
+
+    # 3x3 depthwise: row slices are free (dim 0 is untiled); column shifts
+    # via roll on the sublane axis — wrap terms hit zeroed padding columns
+    acc = jnp.zeros((th, wp, ch), jnp.float32)
+    for di in range(3):
+        rows = h[di:di + th]
+        for dj in range(3):
+            shifted = pltpu.roll(rows, (1 - dj) % wp, 1)  # roll needs shift>=0
+            acc = acc + shifted * wdw_ref[di * 3 + dj, :].astype(jnp.float32)
+    acc = acc + bdw_ref[:]
+    d = jnp.clip(acc, 0.0, 6.0).astype(x.dtype)
+
+    # 1x1 linear project on the MXU
+    cout = w2_ref.shape[1]
+    o = jnp.dot(d.reshape(th * wp, ch), w2_ref[:],
+                preferred_element_type=jnp.float32)
+    o = (o + b2_ref[:]).reshape(th, wp, cout)
+    if residual:
+        o = o + x[1:1 + th].astype(jnp.float32)
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+def _pick_tile_rows(h: int, cap: int = 24) -> int:
+    """Largest divisor of h not exceeding cap (keeps VMEM tiles bounded)."""
+    for d in range(min(h, cap), 0, -1):
+        if h % d == 0:
+            return d
+    return 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("residual", "tile_rows", "interpret"))
+def fused_inverted_residual(x, w1, b1, wdw, bdw, w2, b2,
+                            residual: bool = True, tile_rows: int | None = None,
+                            interpret: bool = False):
+    """Stride-1 inverted residual: x (B,H,W,Cin) -> (B,H,W,Cout).
+
+    w1 (Cin,Ch), wdw (3,3,Ch), w2 (Ch,Cout); per-conv biases (BN folded).
+    tile_rows must divide H (auto-selected when None).
+    """
+    b, h, w, cin = x.shape
+    ch = w1.shape[1]
+    cout = w2.shape[1]
+    th = tile_rows if tile_rows else _pick_tile_rows(h)
+    assert h % th == 0, (h, th)
+    n_tiles = h // th
+
+    wp = _round_up(w + 2, 8)
+    # rows: 1 top pad + (th-1) bottom pad so every tile's next row-block
+    # exists ((n_tiles+1) blocks of th rows); cols: 1 left + align-fill right
+    xp = jnp.pad(x, ((0, 0), (1, th - 1), (1, wp - w - 1), (0, 0)))
+    wdw_flat = wdw.reshape(9, ch)
+    b1 = b1.reshape(1, ch)
+    bdw = bdw.reshape(1, 1, ch)
+    b2 = b2.reshape(1, cout)
+
+    kernel = functools.partial(_fused_block_kernel, th=th, height=h,
+                               width=w, residual=residual)
+    row_block = pl.BlockSpec((1, th, wp, cin), lambda b_, t: (b_, t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    halo_block = pl.BlockSpec((1, th, wp, cin), lambda b_, t: (b_, t + 1, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            row_block,                                  # x rows
+            halo_block,                                 # next row-block (halo)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # wdw
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # bdw
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # b2
+        ],
+        out_specs=pl.BlockSpec((1, th, wp, cout), lambda b_, t: (b_, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, wp, cout), x.dtype),
+        interpret=interpret,
+    )(xp, xp, w1, b1, wdw_flat, bdw, w2, b2)
+    return out[:, :, 1:w + 1, :]
+
+
+def _fused_block_s2_kernel(xa_ref, xb_ref, w1_ref, b1_ref, wdw_ref, bdw_ref,
+                           w2_ref, b2_ref, out_ref, h_ref, *, tho: int,
+                           hin: int, win: int):
+    """Stride-2 variant: output tile THo rows from 2*THo+1 input rows."""
+    t = pl.program_id(1)
+    _, _, wip, cin = xa_ref.shape       # input row-blocks of 2*THo rows
+    tr = 2 * tho + 1
+    ch = w1_ref.shape[1]
+    wop = out_ref.shape[2]
+
+    x = jnp.concatenate([xa_ref[0], xb_ref[0, :1]], axis=0)  # (TR, WIP, Cin)
+
+    h = jnp.dot(x.reshape(tr * wip, cin), w1_ref[:],
+                preferred_element_type=jnp.float32)
+    h = h + b1_ref[:]
+    h = jnp.clip(h, 0.0, 6.0).reshape(tr, wip, ch)
+
+    grow = t * 2 * tho + jax.lax.broadcasted_iota(jnp.int32, (tr, wip, 1), 0)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (tr, wip, 1), 1)
+    interior = ((grow > 0) & (grow < hin + 1)
+                & (gcol > 0) & (gcol < win + 1))
+    # stride-2 windows aren't expressible on vector values (Mosaic confines
+    # value-slice strides to 1), so stage h in VMEM and use strided loads
+    h_ref[:] = h * interior.astype(h.dtype)
+
+    acc = jnp.zeros((tho, wop, ch), jnp.float32)
+    for di in range(3):
+        for dj in range(3):
+            term = h_ref[di:di + 2 * tho - 1:2, dj:dj + 2 * wop - 1:2, :]
+            acc = acc + term * wdw_ref[di * 3 + dj, :].astype(jnp.float32)
+    acc = acc + bdw_ref[:]
+    d = jnp.clip(acc, 0.0, 6.0).astype(x.dtype)
+
+    cout = w2_ref.shape[1]
+    o = jnp.dot(d.reshape(tho * wop, ch), w2_ref[:],
+                preferred_element_type=jnp.float32)
+    out_ref[0] = (o + b2_ref[:]).reshape(tho, wop, cout).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_rows", "interpret"))
+def fused_inverted_residual_s2(x, w1, b1, wdw, bdw, w2, b2,
+                               tile_rows: int | None = None,
+                               interpret: bool = False):
+    """Stride-2 inverted residual: x (B,H,W,Cin) -> (B,H/2,W/2,Cout).
+
+    Same fusion as the stride-1 kernel; the depthwise uses strided
+    (2,2) lax.slice windows. No residual (stride-2 is never identity).
+    H, W must be even.
+    """
+    b, hin, win, cin = x.shape
+    assert hin % 2 == 0 and win % 2 == 0
+    ho, wo = hin // 2, win // 2
+    ch = w1.shape[1]
+    cout = w2.shape[1]
+    tho = tile_rows if tile_rows else _pick_tile_rows(ho, 16)
+    n_tiles = ho // tho
+
+    wop = _round_up(wo, 8)              # padded out width (aligned)
+    wip = _round_up(2 * wop + 3, 8)     # slices need dj + 2*wop - 1 <= wip
+    # rows: 1 top pad; bottom pad so (n_tiles+1) input row-blocks exist
+    row_pad = (n_tiles + 1) * 2 * tho - hin - 1
+    xp = jnp.pad(x, ((0, 0), (1, row_pad), (1, wip - win - 1), (0, 0)))
+    wdw_flat = wdw.reshape(9, ch)
+    b1 = b1.reshape(1, ch)
+    bdw = bdw.reshape(1, 1, ch)
+    b2 = b2.reshape(1, cout)
+
+    kernel = functools.partial(_fused_block_s2_kernel, tho=tho, hin=hin,
+                               win=win)
+    row_block = pl.BlockSpec((1, 2 * tho, wip, cin),
+                             lambda b_, t: (b_, t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    halo_block = pl.BlockSpec((1, 2 * tho, wip, cin),
+                              lambda b_, t: (b_, t + 1, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[row_block, halo_block] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((1, tho, wop, cout),
+                               lambda b_, t: (b_, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ho, wop, cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((2 * tho + 1, wip, ch), jnp.float32)],
+        interpret=interpret,
+    )(xp, xp, w1, b1, wdw_flat, bdw, w2, b2)
+    return out[:, :, :wo, :]
+
+
+def xla_inverted_residual(x, w1, b1, wdw, bdw, w2, b2, residual=True,
+                          stride=1):
+    """XLA reference implementation (for testing and fallback)."""
+    h = jax.lax.conv_general_dilated(
+        x, w1[None, None], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + b1
+    h = jnp.clip(h, 0, 6).astype(x.dtype)
+    ch = wdw.shape[-1]
+    d = jax.lax.conv_general_dilated(
+        h, wdw[:, :, None, :], (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=ch,
+        preferred_element_type=jnp.float32) + bdw
+    d = jnp.clip(d, 0, 6).astype(x.dtype)
+    o = jax.lax.conv_general_dilated(
+        d, w2[None, None], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + b2
+    if residual:
+        o = o + x.astype(jnp.float32)
+    return o.astype(x.dtype)
