@@ -4,3 +4,7 @@ from mobilenet_yolo_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from mobilenet_yolo_tpu.parallel.sharding import (  # noqa: F401
+    replicate,
+    shard_over_model_axis,
+)

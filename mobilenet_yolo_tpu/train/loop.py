@@ -120,6 +120,11 @@ class Trainer:
                 seg = shard_batch(self.mesh, seg)
             self.state, metrics = self.train_step(self.state, *args, *seg)
             bs = batch["images"].shape[0]
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                # NaN tripwire (reference yolo_loss.py:231-232)
+                self._log(f"WARNING: non-finite loss {loss_val} at "
+                          f"epoch {epoch} batch {i}")
             meters.update({k: float(v) for k, v in metrics.items()}, bs)
             if self.verbose and i % self.cfg.log_suffix_every == 0:
                 a = meters.averages()

@@ -100,6 +100,10 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is not None:
+        if mesh.shape.get("model", 1) > 1:
+            # tensor-parallel state: placements are set on the arrays
+            # (parallel/sharding.py) and propagate through jit
+            return jax.jit(step, donate_argnums=(0,))
         repl = replicated(mesh)
         data = batch_sharding(mesh)
         in_sh = (repl, data, data, data) + ((data,) if segmentation else ())

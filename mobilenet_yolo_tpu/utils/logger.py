@@ -73,3 +73,34 @@ class Logger:
         if self.file is not None:
             self.file.close()
             self.file = None
+
+
+class LoggerMonitor:
+    """Overlay plots of multiple runs (reference utils/logger.py:96-107)."""
+
+    def __init__(self, paths: dict[str, str]):
+        """paths: {run title: log.txt path}."""
+        self.loggers = []
+        for title, path in paths.items():
+            self.loggers.append(Logger(path, title=title, resume=True))
+
+    def plot(self, names=None):
+        import matplotlib.pyplot as plt
+
+        plt.grid(True)
+        legend = []
+        for logger in self.loggers:
+            logger.plot(names)
+            ns = logger.names if names is None else names
+            legend += [f"{logger.title}({n})" for n in ns]
+        plt.legend(legend)
+
+    def savefig(self, fname, names=None, dpi=150):
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+
+        plt.figure()
+        self.plot(names)
+        plt.savefig(fname, dpi=dpi)
+        plt.close()

@@ -38,3 +38,21 @@ class MeterDict:
 
     def __getitem__(self, k):
         return self.meters[k]
+
+
+def get_mean_and_std(images) -> tuple:
+    """Per-channel mean/std over a dataset of HWC float images in [0, 1]
+    (reference utils/misc.py:get_mean_and_std)."""
+    import numpy as np
+
+    total = np.zeros(3, np.float64)
+    total_sq = np.zeros(3, np.float64)
+    n = 0
+    for img in images:
+        flat = np.asarray(img, np.float64).reshape(-1, img.shape[-1])
+        total += flat.sum(0)
+        total_sq += (flat ** 2).sum(0)
+        n += flat.shape[0]
+    mean = total / n
+    std = np.sqrt(total_sq / n - mean ** 2)
+    return mean, std

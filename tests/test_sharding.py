@@ -75,3 +75,38 @@ def test_batch_is_actually_sharded():
     assert xs.sharding == batch_sharding(mesh)
     # each device holds 1/8 of the batch
     assert xs.addressable_shards[0].data.shape[0] == 2
+
+
+def test_tensor_parallel_step_matches_dp():
+    """DP+TP (4x2 mesh, output channels sharded) must match pure DP."""
+    from mobilenet_yolo_tpu.parallel import shard_over_model_axis
+    model = MBv2YOLO(num_classes=3, num_anchors=3, width_mult=0.35)
+    batches = list(synthetic_batches(1, batch_size=8, img_size=64,
+                                     num_classes=3, seed=5))
+    images, gt, n_gt = batches[0]
+
+    mesh_dp = create_mesh()
+    s_dp, tx_dp = create_train_state(model, jax.random.PRNGKey(0), (64, 64),
+                                     learning_rate=1e-3, batch_size=8)
+    step_dp = make_train_step(model, CFG, tx_dp, mesh=mesh_dp)
+    s_dp, m_dp = step_dp(s_dp, *shard_batch(
+        mesh_dp, (jnp.asarray(images), jnp.asarray(gt), jnp.asarray(n_gt))))
+
+    mesh_tp = create_mesh(n_data=4, n_model=2)
+    s_tp, tx_tp = create_train_state(model, jax.random.PRNGKey(0), (64, 64),
+                                     learning_rate=1e-3, batch_size=8)
+    s_tp = shard_over_model_axis(s_tp, mesh_tp, min_channels=128)
+    # at least one kernel must actually be model-sharded
+    shardings = [l.sharding.spec for l in jax.tree_util.tree_leaves(s_tp.params)
+                 if hasattr(l, "sharding")]
+    assert any("model" in str(s) for s in shardings), shardings
+    step_tp = make_train_step(model, CFG, tx_tp, mesh=mesh_tp)
+    s_tp, m_tp = step_tp(s_tp, *shard_batch(
+        mesh_tp, (jnp.asarray(images), jnp.asarray(gt), jnp.asarray(n_gt))))
+
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_tp["loss"]),
+                               rtol=3e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_dp.params),
+                    jax.tree_util.tree_leaves(s_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2.5e-3)
