@@ -63,13 +63,18 @@ def yolo_head_loss(
 
     conf_cls_loss = weighted_mse_loss(output, tgt.targets, tgt.weights)
 
-    # CIoU loss: weighted mse against target 1, normalised by weight-sum then
-    # by the assignment count (yolo_loss.py:220-224)
-    w = tgt.area_weight
-    sq = (tgt.ciou - 1.0) ** 2 * w
+    # CIoU loss (yolo_loss.py:220-224). The reference *intends* a
+    # (2 - gt_area)-weighted mse, but its weighted_mse_loss broadcasts the
+    # (N,1) squared error against the (N,) weights into an (N,N) outer
+    # product, so the weights cancel exactly: the effective loss is the
+    # plain mean of (ciou - 1)^2 over assignments. Verified bit-for-bit
+    # against the executed reference (tests/test_reference_parity.py);
+    # reproduced here faithfully. tgt.area_weight still carries the
+    # intended weights should anyone want the fixed formulation.
+    sq = (tgt.ciou - 1.0) ** 2 * tgt.assign.astype(tgt.ciou.dtype)
     iou_loss = jnp.where(
         tgt.count > 0,
-        jnp.sum(sq) / jnp.maximum(jnp.sum(w), 1e-12) / jnp.maximum(tgt.count, 1.0),
+        jnp.sum(sq) / jnp.maximum(tgt.count, 1.0),
         0.0,
     )
 
