@@ -255,6 +255,143 @@ def test_mobilenetv2_conversion_matches_reference(ref_modules, rng):
                                rtol=1e-3, atol=1e-4)
 
 
+def _oracle_torch_nms(boxes, scores, iou_threshold):
+    """Greedy hard NMS, torchvision-compatible (indices by desc score)."""
+    import torch
+    b = boxes.numpy()
+    s = scores.numpy()
+    order = np.argsort(-s, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(b), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(int(i))
+        for j in order:
+            if suppressed[j] or j == i:
+                continue
+            lower = np.maximum(b[i, :2], b[j, :2])
+            upper = np.minimum(b[i, 2:], b[j, 2:])
+            wh = np.clip(upper - lower, 0, None)
+            inter = wh[0] * wh[1]
+            area_i = (b[i, 2] - b[i, 0]) * (b[i, 3] - b[i, 1])
+            area_j = (b[j, 2] - b[j, 0]) * (b[j, 3] - b[j, 1])
+            if inter / (area_i + area_j - inter) > iou_threshold:
+                suppressed[j] = True
+    return torch.as_tensor(keep, dtype=torch.long)
+
+
+def test_full_detector_matches_reference(ref_modules, rng, monkeypatch):
+    """End-to-end detector parity: reference yolo graph (random weights) vs
+    our MBv2YOLO with converted weights — identical post-NMS detections.
+
+    Covers backbone+neck+heads graph parity, the full-model weight
+    converter, decode, the val_conf gate and class-aware NMS."""
+    import jax
+    import jax.numpy as jnp
+    from mobilenet_yolo_tpu.eval import make_predict_fn
+    from mobilenet_yolo_tpu.models import MBv2YOLO
+    from tools.convert_torch import convert, mbv2_yolo_mapping
+
+    torch = ref_modules.torch
+    sys.modules["torchvision"].ops.nms = _oracle_torch_nms
+    # the reference downloads ImageNet weights at construction; zero-egress
+    # here, so feed it an empty checkpoint (keeps its random init)
+    import models.mobilenetv2 as ref_mnv2
+    monkeypatch.setattr(ref_mnv2, "load_state_dict_from_url",
+                        lambda *a, **k: {})
+    import importlib
+    import models.mbv2_yolo as ref_mbv2_yolo
+    importlib.reload(ref_mbv2_yolo)
+
+    config = {
+        "img_w": 160, "img_h": 160, "iou_weighting": 0.0218,
+        "yolo": {"num_classes": 20, "num_anchors": 3,
+                 "ignore_thresh": [0.6, 0.55], "iou_thresh": 0.55,
+                 "anchors": ANCHORS_PX, "mask": [[0, 1, 2], [3, 4, 5]]},
+    }
+    net = ref_mbv2_yolo.yolo(config=config)
+    net.eval()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+    val_conf = 0.05
+    for hl in net.yolo_losses:
+        hl.val_conf = val_conf
+
+    x = rng.normal(0, 0.8, (2, 160, 160, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_dets = net(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()))
+
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = convert(sd, mbv2_yolo_mapping())
+    model = MBv2YOLO(num_classes=20, num_anchors=3)
+    variables = {"params": jax.tree.map(jnp.asarray, params),
+                 "batch_stats": jax.tree.map(jnp.asarray, stats)}
+    # random weights pass ~all 375 candidates/image through the val_conf
+    # gate; top_k must cover them for exact set-parity with the ragged
+    # reference (trained models sit far below the 256 default)
+    predict = make_predict_fn(model, config, top_k=384)
+    dets, keep = predict(variables, jnp.asarray(x), jnp.float32(val_conf))
+    dets = np.asarray(dets)
+    keep = np.asarray(keep)
+
+    for b in range(2):
+        mine = dets[b][keep[b]]
+        ref = ref_dets[b].numpy()
+        # hard NMS makes boundary IoU ties (==0.45 within float eps) flip
+        # whole detections; with random weights a handful of ties are
+        # expected, so require a >=99% set match rather than exact equality
+        assert abs(mine.shape[0] - ref.shape[0]) <= 2, (mine.shape, ref.shape)
+        unmatched = 0
+        for row in mine:
+            diffs = np.abs(ref - row).max(axis=1) if len(ref) else [1]
+            if np.min(diffs) > 1e-3:
+                unmatched += 1
+        assert unmatched <= max(2, int(0.01 * len(mine))), (
+            f"{unmatched}/{len(mine)} detections have no reference match")
+
+
+def test_mbv3_backbone_conversion_matches_reference(ref_modules, rng):
+    import jax
+    import jax.numpy as jnp
+    import models.mobilenetv3 as ref_mnv3
+    from mobilenet_yolo_tpu.models import MobileNetV3Large
+    from tools.convert_torch import convert, mbv3_backbone_mapping
+
+    torch = ref_modules.torch
+    net = ref_mnv3.MobileNetV3_Large()
+    net.eval()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    mapping = {(k[0], "backbone", *k[1:]): v
+               for k, v in mbv3_backbone_mapping("").items()}
+    params, stats = convert(sd, mapping)
+
+    x = rng.normal(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref1, ref2 = net(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()))
+    model = MobileNetV3Large()
+    variables = {"params": jax.tree.map(jnp.asarray, params["backbone"]),
+                 "batch_stats": jax.tree.map(jnp.asarray, stats["backbone"])}
+    c4, c5 = model.apply(variables, jnp.asarray(x), train=False)
+    # SE gating multiplications amplify XLA-vs-torch fusion-order noise
+    # through 15 blocks (observed ~6e-4 on ~1% of elements); a mis-wired
+    # weight would produce O(1) errors everywhere, so assert a loose
+    # element tolerance plus a tight mean error
+    for got, ref in ((c4, ref1), (c5, ref2)):
+        ref_np = ref.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(got), ref_np,
+                                   rtol=5e-2, atol=5e-3)
+        assert float(np.abs(np.asarray(got) - ref_np).mean()) < 1e-4
+
+
 def test_map_matches_reference(ref_modules, rng):
     """VOC 11-point mAP vs the reference eval_mAP on a random det set."""
     torch = ref_modules.torch
