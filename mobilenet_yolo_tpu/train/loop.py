@@ -141,7 +141,10 @@ class Trainer:
     # --------------------------------------------------------------- eval --
     def evaluate(self, loader: Iterable, batch_size: int | None = None
                  ) -> tuple[float, dict]:
+        from mobilenet_yolo_tpu.ops.seg_metrics import SegMetricAccumulator
+
         ev = Evaluator(self.classes_name)
+        seg_acc = None
         val_conf = jnp.asarray(self.state.val_conf)
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
@@ -157,6 +160,13 @@ class Trainer:
             out = self.predict(variables, images, val_conf)
             dets, keep = out[0][:n], out[1][:n]
             ev.add_batch(dets, keep, batch["gt"], batch["n_gt"])
+            if len(out) > 2 and "seg_maps" in batch:
+                if seg_acc is None:
+                    seg_acc = SegMetricAccumulator(out[2].shape[-1])
+                seg_acc.add_batch(out[2][:n], jnp.asarray(batch["seg_maps"]))
+        if seg_acc is not None:
+            _, miou = seg_acc.compute()
+            self._log(f"  seg mIoU {miou:.4f}")
         new_conf = ev.adjusted_conf(float(self.state.val_conf))
         self.state = self.state.replace(
             val_conf=jnp.asarray(new_conf, jnp.float32))
