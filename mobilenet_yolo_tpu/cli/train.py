@@ -107,7 +107,18 @@ def main(args):
         params, batch_stats = load_params_npz(args.init_from)
         trainer.state = trainer.state.replace(params=params,
                                               batch_stats=batch_stats)
-    if args.resume or trainer.ckpt.latest_step() is not None:
+    if args.resume:
+        # explicit resume source (reference train.py:138-153 takes a file;
+        # here a checkpoint directory — its latest step is restored)
+        from mobilenet_yolo_tpu.train.checkpoints import CheckpointManager
+        src = args.resume if os.path.isdir(args.resume) \
+            else os.path.dirname(args.resume)
+        restored = CheckpointManager(src).restore_latest(trainer.state)
+        assert restored is not None, f"no checkpoint found at {args.resume}"
+        trainer.state = restored
+        trainer.best_acc = float(restored.best_acc)
+        print(f"resumed from {src} at epoch {int(restored.epoch)}")
+    elif trainer.ckpt.latest_step() is not None:
         trainer.maybe_resume()
 
     if args.synthetic:

@@ -224,6 +224,7 @@ def test_mobilenetv2_conversion_matches_reference(ref_modules, rng):
     from tools.convert_torch import convert, mbv2_backbone_mapping
 
     torch = ref_modules.torch
+    torch.manual_seed(0)  # test-order-independent weights
     net = ref_modules.mobilenetv2.MobileNetV2()
     net.eval()
     # randomize BN stats so folding/naming errors can't hide
@@ -294,6 +295,7 @@ def test_full_detector_matches_reference(ref_modules, rng, monkeypatch):
     from tools.convert_torch import convert, mbv2_yolo_mapping
 
     torch = ref_modules.torch
+    torch.manual_seed(0)  # test-order-independent weights
     sys.modules["torchvision"].ops.nms = _oracle_torch_nms
     # the reference downloads ImageNet weights at construction; zero-egress
     # here, so feed it an empty checkpoint (keeps its random init)
@@ -362,6 +364,7 @@ def test_mbv3_backbone_conversion_matches_reference(ref_modules, rng):
     from tools.convert_torch import convert, mbv3_backbone_mapping
 
     torch = ref_modules.torch
+    torch.manual_seed(0)  # test-order-independent weights
     net = ref_mnv3.MobileNetV3_Large()
     net.eval()
     with torch.no_grad():

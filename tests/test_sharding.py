@@ -110,3 +110,24 @@ def test_tensor_parallel_step_matches_dp():
                     jax.tree_util.tree_leaves(s_tp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=2.5e-3)
+
+
+def test_spatial_partitioning_forward():
+    """SP analog for CNNs: shard the image HEIGHT over the mesh — GSPMD
+    inserts the halo exchanges for the convolutions automatically. The
+    sharded forward must match the single-device forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    model = MBv2YOLO(num_classes=3, num_anchors=3, width_mult=0.35)
+    x = jnp.asarray(np.random.default_rng(7).normal(
+        0, 1, (2, 128, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    ref = model.apply(variables, x, train=False)
+
+    mesh = create_mesh()
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "data")))  # shard H
+    f = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
+    got = f(variables, xs)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-4, atol=1e-5)
