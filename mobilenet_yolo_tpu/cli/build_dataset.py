@@ -8,13 +8,17 @@ from __future__ import annotations
 
 import argparse
 
+from mobilenet_yolo_tpu.config import default_data_yaml
+
+_DEFAULT_YAML = default_data_yaml()
+
 from mobilenet_yolo_tpu.data.dataset_builder import build_dataset
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-d", "--dataset",
-                        default="mobilenet_yolo_tpu/configs/voc_data.yaml",
+                        default=_DEFAULT_YAML,
                         help="path to the data yaml")
     args = parser.parse_args(argv)
     build_dataset(args.dataset)

@@ -6,13 +6,17 @@
 from __future__ import annotations
 
 import argparse
+
+from mobilenet_yolo_tpu.config import default_data_yaml
+
+_DEFAULT_YAML = default_data_yaml()
 import json
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="YOLO mAP evaluation")
     parser.add_argument("-y", "--data_yaml", dest="data_yaml",
-                        default="mobilenet_yolo_tpu/configs/voc_data.yaml")
+                        default=_DEFAULT_YAML)
     parser.add_argument("-c", "--checkpoint", default="checkpoint")
     parser.add_argument("--backbone", default="mbv2",
                         choices=["mbv2", "mbv3", "mbv3_macc"])

@@ -41,6 +41,12 @@ def load_yaml(path: str) -> dict:
         return yaml.safe_load(f)
 
 
+def default_data_yaml(name: str = "voc_data.yaml") -> str:
+    """Absolute path of a bundled config (works from any cwd)."""
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "configs", name)
+
+
 @dataclass
 class Config:
     """Merged view over a (data yaml, model yaml) pair."""

@@ -126,7 +126,7 @@ class Loader:
                  transform_size, mean, std, mosaic_num=(1,),
                  max_gt: int = 90, shuffle: bool = True, seed: int = 0,
                  drop_last: bool = False, prefetch: int = 2,
-                 pad_final: bool = True):
+                 pad_final: bool = True, shard_by_process: bool = False):
         # pad_final keeps every batch at exactly batch_size samples by
         # wrapping indices on the final partial batch — XLA compiles one
         # program per (batch, H, W) shape, so ragged tail batches are a
@@ -144,6 +144,7 @@ class Loader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.pad_final = pad_final
+        self.shard_by_process = shard_by_process
         self.epoch = 0
 
     def __len__(self):
@@ -186,6 +187,11 @@ class Loader:
         order = np.arange(len(self.ds))
         if self.shuffle:
             rng.shuffle(order)
+        if self.shard_by_process:
+            # multi-host: each host reads its interleaved shard of the
+            # (identically shuffled) epoch order and feeds its local batch
+            import jax
+            order = order[jax.process_index()::jax.process_count()]
         if self.ds.phase == "train":
             groups_iter = group_indices(order, self.batch_size,
                                         self.mosaic_num, rng, self.drop_last)

@@ -8,7 +8,7 @@ pure-Python fallback reading the identical on-disk format.
 
 Record payload schema (little-endian, explicit rather than pickled):
 
-    u32 magic 0x59524543 ('CREC'), u32 n_labels,
+    u32 magic 0x59524543, u32 n_labels,
     u64 img_len, u64 seg_len,
     f32 labels[n_labels, 5]   (label, cx, cy, w, h) normalized,
     u8  img_bytes[img_len]    (encoded JPEG),

@@ -20,16 +20,22 @@ from mobilenet_yolo_tpu.models.mbv3_yolo import MBv3YOLO  # noqa: F401
 from mobilenet_yolo_tpu.models.mbv3_yolo_macc import MBv3YOLOMacc  # noqa: F401
 
 
-def build_model(config: dict, backbone: str = "mbv2"):
-    """Factory keyed on the model-yaml dict (same contract as reference)."""
+def build_model(config: dict, backbone: str = "mbv2", dtype=None):
+    """Factory keyed on the model-yaml dict (same contract as reference).
+
+    dtype: compute dtype (e.g. jnp.bfloat16 for mixed precision — params
+    stay f32; loss numerics stay f32 via make_loss_fn's output cast).
+    """
     num_classes = config["yolo"]["num_classes"]
     num_anchors = config["yolo"]["num_anchors"]
     seg_classes = config.get("seg", {}).get("num_classes", 0)
     if backbone == "mbv2":
         return MBv2YOLO(num_classes=num_classes, num_anchors=num_anchors,
-                        seg_num_classes=seg_classes)
+                        seg_num_classes=seg_classes, dtype=dtype)
     if backbone == "mbv3":
-        return MBv3YOLO(num_classes=num_classes, num_anchors=num_anchors)
+        return MBv3YOLO(num_classes=num_classes, num_anchors=num_anchors,
+                        dtype=dtype)
     if backbone == "mbv3_macc":
-        return MBv3YOLOMacc(num_classes=num_classes, num_anchors=num_anchors)
+        return MBv3YOLOMacc(num_classes=num_classes, num_anchors=num_anchors,
+                            dtype=dtype)
     raise ValueError(f"unknown backbone {backbone!r}")

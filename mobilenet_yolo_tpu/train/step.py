@@ -55,6 +55,8 @@ def make_loss_fn(model, config: dict, segmentation: bool = False) -> Callable:
 
         total = jnp.asarray(0.0, jnp.float32)
         metrics = {}
+        # loss numerics stay f32 even under bf16 (mixed-precision) compute
+        outputs = {k: v.astype(jnp.float32) for k, v in outputs.items()}
         for i, (key, mask, ig) in enumerate(zip(HEAD_KEYS, masks, ignore_threshs)):
             hl = yolo_head_loss(
                 outputs[key], gt, n_gt, anchors_norm, mask, num_classes,
