@@ -10,7 +10,6 @@ import argparse
 
 from mobilenet_yolo_tpu.config import default_data_yaml
 
-_DEFAULT_YAML = default_data_yaml()
 
 from mobilenet_yolo_tpu.data.dataset_builder import build_dataset
 
@@ -18,7 +17,7 @@ from mobilenet_yolo_tpu.data.dataset_builder import build_dataset
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-d", "--dataset",
-                        default=_DEFAULT_YAML,
+                        default=default_data_yaml(),
                         help="path to the data yaml")
     args = parser.parse_args(argv)
     build_dataset(args.dataset)

@@ -9,14 +9,13 @@ import argparse
 
 from mobilenet_yolo_tpu.config import default_data_yaml
 
-_DEFAULT_YAML = default_data_yaml()
 import json
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="YOLO mAP evaluation")
     parser.add_argument("-y", "--data_yaml", dest="data_yaml",
-                        default=_DEFAULT_YAML)
+                        default=default_data_yaml())
     parser.add_argument("-c", "--checkpoint", default="checkpoint")
     parser.add_argument("--backbone", default="mbv2",
                         choices=["mbv2", "mbv3", "mbv3_macc"])

@@ -16,7 +16,6 @@ import argparse
 
 from mobilenet_yolo_tpu.config import default_data_yaml
 
-_DEFAULT_YAML = default_data_yaml()
 import os
 import time
 
@@ -32,7 +31,7 @@ def get_args(argv=None):
     parser.add_argument("-c", "--checkpoint", default="checkpoint", type=str,
                         help="checkpoint dir (orbax) or .npz params file")
     parser.add_argument("-y", "--data_yaml", dest="data_yaml",
-                        default=_DEFAULT_YAML)
+                        default=default_data_yaml())
     parser.add_argument("-i", "--input", default="images/000166.jpg")
     parser.add_argument("--backbone", default="mbv2",
                         choices=["mbv2", "mbv3", "mbv3_macc"])

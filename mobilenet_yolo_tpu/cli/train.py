@@ -14,14 +14,13 @@ import argparse
 
 from mobilenet_yolo_tpu.config import default_data_yaml
 
-_DEFAULT_YAML = default_data_yaml()
 import os
 
 
 def get_params(argv=None):
     parser = argparse.ArgumentParser(description="TPU YOLO Training")
     parser.add_argument("-y", "--data_yaml", dest="data_yaml",
-                        default=_DEFAULT_YAML,
+                        default=default_data_yaml(),
                         type=str, metavar="PATH")
     parser.add_argument("--momentum", default=0.9, type=float)
     parser.add_argument("--weight-decay", "--wd", dest="weight_decay",

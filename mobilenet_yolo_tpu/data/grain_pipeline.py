@@ -1,15 +1,10 @@
 """Grain-backed input pipeline (optional alternative to data/pipeline.py).
 
-Uses ``grain.MapDataset`` over the record shards with the same semantics as
-the hand-rolled Loader: mosaic group sampling, per-batch multiscale resize,
-fixed-shape GT padding. Grain provides deterministic shuffling, worker
-multiprocessing and checkpointable iterators; per-host sharding for
-multi-host training comes from ``grain.sharding.ShardByJaxProcess``.
-
-The mosaic *grouping* (variable 1..N source images per composed sample,
-CustomBatchSampler.py:48-73) doesn't fit grain's one-record-per-index
-model directly, so each epoch pre-materialises the group index list and
-grain maps over groups.
+Uses ``grain.MapDataset`` over the deterministic epoch batch plan (the same
+plan the hand-rolled Loader derives: mosaic groups + per-batch multiscale
+size + per-host sharding). Grain contributes worker multiprocessing and a
+checkpointable iterator; each grain element is one complete batch so worker
+parallelism is at batch granularity.
 """
 
 from __future__ import annotations
@@ -18,12 +13,11 @@ from typing import Iterator
 
 import numpy as np
 
-from mobilenet_yolo_tpu.data.mosaic import group_indices
-from mobilenet_yolo_tpu.data.pipeline import DetectionDataset, Loader
+from mobilenet_yolo_tpu.data.pipeline import Loader
 
 
 class GrainLoader(Loader):
-    """Loader with grain-powered shuffling/prefetching of sample groups."""
+    """Loader with grain-powered prefetching of the batch plan."""
 
     def __init__(self, *args, num_workers: int = 0, **kwargs):
         super().__init__(*args, **kwargs)
@@ -32,42 +26,19 @@ class GrainLoader(Loader):
     def _epoch_batches(self) -> Iterator[dict]:
         import grain
 
-        rng = np.random.default_rng(self.seed + self.epoch)
-        order = np.arange(len(self.ds))
-        if self.shuffle:
-            rng.shuffle(order)
-        if self.ds.phase == "train":
-            groups: list[list[int]] = [
-                g for batch in group_indices(order, self.batch_size,
-                                             self.mosaic_num, rng,
-                                             self.drop_last)
-                for g in batch]
-        else:
-            groups = [[int(i)] for i in order]
+        plan, p_idx = self._sharded_plan()
+        seed, epoch = self.seed, self.epoch
 
-        ds = grain.MapDataset.source(groups)
-        seed = int(rng.integers(0, 2 ** 31 - 1))
+        def load(entry):
+            batch_idx, (groups, size_idx) = entry
+            b_rng = np.random.default_rng((seed, epoch, p_idx, batch_idx))
+            samples = [self.ds.get_group(g, b_rng) for g in groups]
+            return self._collate(samples, size_idx)
 
-        def load_group(group):
-            g_rng = np.random.default_rng((seed, *group))
-            return self.ds.get_group(list(group), g_rng)
-
-        ds = ds.map(load_group)
+        ds = grain.MapDataset.source(list(enumerate(plan))).map(load)
         it = ds.to_iter_dataset()
         if self.num_workers:
             it = it.mp_prefetch(
                 grain.multiprocessing.MultiprocessingOptions(
                     num_workers=self.num_workers))
-
-        batch, n = [], self.batch_size
-        for sample in it:
-            batch.append(sample)
-            if len(batch) == n:
-                yield self._collate(batch, rng)
-                batch = []
-        if batch and not self.drop_last:
-            if self.pad_final and self.ds.phase == "train":
-                while len(batch) < n:
-                    batch.append(load_group(
-                        [int(order[int(rng.integers(0, len(order)))])]))
-            yield self._collate(batch, rng)
+        yield from it

@@ -126,12 +126,19 @@ class Loader:
                  transform_size, mean, std, mosaic_num=(1,),
                  max_gt: int = 90, shuffle: bool = True, seed: int = 0,
                  drop_last: bool = False, prefetch: int = 2,
-                 pad_final: bool = True, shard_by_process: bool = False):
+                 pad_final: bool = True, shard_by_process: bool | None = None):
         # pad_final keeps every batch at exactly batch_size samples by
         # wrapping indices on the final partial batch — XLA compiles one
         # program per (batch, H, W) shape, so ragged tail batches are a
         # recompile per epoch otherwise. Semantically a no-op for training
         # (an epoch sees a handful of duplicate samples).
+        #
+        # shard_by_process (auto-on under multi-host jax) shards the epoch
+        # *batch plan*, not raw samples: every host derives the identical
+        # deterministic plan (groups + per-batch image size) and takes
+        # batches [process::count] truncated to a common length — so all
+        # hosts step the same number of identically-shaped batches and the
+        # jitted step's collectives stay in lockstep.
         self.ds = dataset
         self.batch_size = batch_size
         self.transform_size = [tuple(s) for s in transform_size]
@@ -144,18 +151,57 @@ class Loader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.pad_final = pad_final
+        if shard_by_process is None:
+            import jax
+            shard_by_process = jax.process_count() > 1
         self.shard_by_process = shard_by_process
         self.epoch = 0
 
+    def _process_slice(self) -> tuple[int, int]:
+        if not self.shard_by_process:
+            return 0, 1
+        import jax
+        return jax.process_index(), jax.process_count()
+
     def __len__(self):
         # progress counted in raw images, like the reference sampler
-        # (CustomBatchSampler.py:76-81)
-        return len(self.ds)
+        # (CustomBatchSampler.py:76-81) — this host's share of them
+        _, n_proc = self._process_slice()
+        return len(self.ds) // n_proc
 
-    def _collate(self, samples, rng: np.random.Generator) -> dict:
-        """Random train size, resize+normalize+stack, GT pad, seg rasterize
-        (folder2lmdb.py:223-265)."""
-        w, h = self.transform_size[int(rng.integers(0, len(self.transform_size)))]
+    def _epoch_plan(self, rng: np.random.Generator) -> list:
+        """Deterministic full-epoch plan: [(batch_groups, size_idx), ...].
+
+        Derived identically on every host from the shared seed; sample
+        decode/augmentation randomness is applied later per batch and does
+        not need cross-host agreement."""
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            rng.shuffle(order)
+        plan = []
+        if self.ds.phase == "train":
+            for batch_groups in group_indices(order, self.batch_size,
+                                              self.mosaic_num, rng,
+                                              self.drop_last):
+                if self.pad_final and len(batch_groups) < self.batch_size:
+                    n_pad = self.batch_size - len(batch_groups)
+                    batch_groups = batch_groups + [
+                        [int(order[int(rng.integers(0, len(order)))])]
+                        for _ in range(n_pad)]
+                size_idx = int(rng.integers(0, len(self.transform_size)))
+                plan.append((batch_groups, size_idx))
+        else:
+            for i in range(0, len(order), self.batch_size):
+                idx = order[i:i + self.batch_size]
+                if self.drop_last and len(idx) < self.batch_size:
+                    break
+                plan.append(([[int(j)] for j in idx], 0))
+        return plan
+
+    def _collate(self, samples, size_idx: int) -> dict:
+        """Resize to the planned size, normalize+stack, GT pad, seg
+        rasterize (folder2lmdb.py:223-265)."""
+        w, h = self.transform_size[size_idx]
         seg_w, seg_h = w // 16, h // 16
         images = np.empty((len(samples), h, w, 3), np.float32)
         gt = np.zeros((len(samples), self.max_gt, 5), np.float32)
@@ -182,34 +228,36 @@ class Loader:
             batch["seg_maps"] = seg_maps
         return batch
 
-    def _epoch_batches(self) -> Iterator[dict]:
+    def _sharded_plan(self) -> tuple[list, int]:
+        """This host's slice of the epoch plan; returns (plan, process_idx).
+
+        Multi-host data parallelism feeds each jitted step ONE global batch
+        sharded across hosts, so every host takes its contiguous slice of
+        the groups of the SAME plan entry — step counts and per-step
+        (H, W) sizes agree by construction. Training only; evaluation
+        loaders read the full set on every host (metrics are host-local).
+        """
         rng = np.random.default_rng(self.seed + self.epoch)
-        order = np.arange(len(self.ds))
-        if self.shuffle:
-            rng.shuffle(order)
-        if self.shard_by_process:
-            # multi-host: each host reads its interleaved shard of the
-            # (identically shuffled) epoch order and feeds its local batch
-            import jax
-            order = order[jax.process_index()::jax.process_count()]
-        if self.ds.phase == "train":
-            groups_iter = group_indices(order, self.batch_size,
-                                        self.mosaic_num, rng, self.drop_last)
-            for batch_groups in groups_iter:
-                if self.pad_final and len(batch_groups) < self.batch_size:
-                    n_pad = self.batch_size - len(batch_groups)
-                    batch_groups = batch_groups + [
-                        [int(order[int(rng.integers(0, len(order)))])]
-                        for _ in range(n_pad)]
-                samples = [self.ds.get_group(g, rng) for g in batch_groups]
-                yield self._collate(samples, rng)
-        else:
-            for i in range(0, len(order), self.batch_size):
-                idx = order[i:i + self.batch_size]
-                if self.drop_last and len(idx) < self.batch_size:
-                    break
-                samples = [self.ds.get_group([int(j)], rng) for j in idx]
-                yield self._collate(samples, rng)
+        plan = self._epoch_plan(rng)
+        p_idx, n_proc = self._process_slice()
+        if n_proc > 1 and self.ds.phase == "train":
+            assert self.batch_size % n_proc == 0, (
+                f"global batch {self.batch_size} not divisible by "
+                f"{n_proc} hosts")
+            local = self.batch_size // n_proc
+            plan = [(groups[p_idx * local:(p_idx + 1) * local], size_idx)
+                    for groups, size_idx in plan]
+        return plan, p_idx
+
+    def _epoch_batches(self) -> Iterator[dict]:
+        plan, p_idx = self._sharded_plan()
+        for batch_idx, (batch_groups, size_idx) in enumerate(plan):
+            # per-batch rng: independent of how many batches other hosts
+            # or earlier batches consumed
+            b_rng = np.random.default_rng(
+                (self.seed, self.epoch, p_idx, batch_idx))
+            samples = [self.ds.get_group(g, b_rng) for g in batch_groups]
+            yield self._collate(samples, size_idx)
 
     def __iter__(self) -> Iterator[dict]:
         self.epoch += 1

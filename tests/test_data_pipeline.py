@@ -184,3 +184,43 @@ def test_grain_loader_matches_contract(tmp_path, rng):
         assert b["images"].shape == (4, 64, 64, 3)
         assert b["gt"].shape == (4, 8, 5)
         assert np.isfinite(b["images"]).all()
+
+
+def test_multi_host_sharded_plan(tmp_path, rng):
+    """Simulated multi-host sharding: each host yields its shard of the
+    SAME global batch — equal step counts, matching (H, W) per step, and
+    complementary sample coverage."""
+    cv2 = pytest.importorskip("cv2")
+    from mobilenet_yolo_tpu.data.pipeline import DetectionDataset, Loader
+    from mobilenet_yolo_tpu.data.records import RecordReader, RecordWriter
+
+    d = str(tmp_path / "shard")
+    with RecordWriter(d) as w:
+        for i in range(26):
+            img = rng.integers(0, 255, (40, 50, 3), np.uint8)
+            ok, buf = cv2.imencode(".jpg", img)
+            w.append_record(buf.tobytes(),
+                            np.asarray([[1, 0.5, 0.5, 0.4, 0.5]], np.float32))
+
+    def host_loader(p_idx, n_proc):
+        ds = DetectionDataset(RecordReader(d), phase="train",
+                              apply_noise=False)
+        loader = Loader(ds, batch_size=4,
+                        transform_size=[[32, 32], [64, 64]],
+                        mean=[0.5] * 3, std=[1.0] * 3, mosaic_num=[1],
+                        max_gt=4, prefetch=0, shard_by_process=True)
+        loader._process_slice = lambda: (p_idx, n_proc)
+        loader.epoch = 1  # fixed epoch => identical plan across "hosts"
+        return loader, list(loader._epoch_batches())
+
+    l0, b0 = host_loader(0, 2)
+    l1, b1 = host_loader(1, 2)
+    full_loader, bfull = host_loader(0, 1)
+
+    assert len(b0) == len(b1) == len(bfull) > 0   # lockstep step counts
+    for a, b, f in zip(b0, b1, bfull):
+        # same planned (H, W) at every step; each host holds half the batch
+        assert a["images"].shape == b["images"].shape
+        assert a["images"].shape[0] == 2 and f["images"].shape[0] == 4
+        assert a["images"].shape[1:] == f["images"].shape[1:]
+    assert len(l0) == 13                           # per-host share of 26

@@ -23,14 +23,13 @@ import argparse
 
 from mobilenet_yolo_tpu.config import default_data_yaml
 
-_DEFAULT_YAML = default_data_yaml()
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--checkpoint", default="checkpoint")
     parser.add_argument("--data-yaml", dest="data_yaml",
-                        default=_DEFAULT_YAML)
+                        default=default_data_yaml())
     parser.add_argument("--backbone", default="mbv2",
                         choices=["mbv2", "mbv3", "mbv3_macc"])
     parser.add_argument("--what", default="stablehlo",
