@@ -57,7 +57,7 @@ def load_variables(model, checkpoint: str, example, random_ok=False):
                 "batch_stats": jax.tree.map(jnp.asarray, batch_stats)}
     if os.path.isdir(checkpoint):
         import orbax.checkpoint as ocp
-        from mobilenet_yolo_tpu.train.state import TrainState, create_train_state
+        from mobilenet_yolo_tpu.train.state import create_train_state
         state, _ = create_train_state(model, jax.random.PRNGKey(0),
                                       (example.shape[2], example.shape[1]))
         mgr = ocp.CheckpointManager(os.path.abspath(checkpoint))

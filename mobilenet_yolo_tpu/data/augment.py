@@ -52,7 +52,6 @@ def adjust_saturation(img: np.ndarray, factor: float) -> np.ndarray:
 
 def adjust_hue(img: np.ndarray, delta: float) -> np.ndarray:
     """delta in [-0.5, 0.5] revolutions (torchvision convention)."""
-    import colorsys  # noqa: F401  (documented convention)
     hsv = _rgb_to_hsv(img.astype(np.float32) / 255.0)
     hsv[..., 0] = (hsv[..., 0] + delta) % 1.0
     return np.clip(_hsv_to_rgb(hsv) * 255.0, 0, 255)

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 
@@ -133,12 +133,11 @@ class Loader:
         # recompile per epoch otherwise. Semantically a no-op for training
         # (an epoch sees a handful of duplicate samples).
         #
-        # shard_by_process (auto-on under multi-host jax) shards the epoch
-        # *batch plan*, not raw samples: every host derives the identical
-        # deterministic plan (groups + per-batch image size) and takes
-        # batches [process::count] truncated to a common length — so all
-        # hosts step the same number of identically-shaped batches and the
-        # jitted step's collectives stay in lockstep.
+        # shard_by_process (auto-on under multi-host jax): every host
+        # derives the identical deterministic epoch plan (groups +
+        # per-batch image size) and takes its contiguous slice of each
+        # global batch's groups — all hosts feed the same step with the
+        # same (H, W) and the jitted step's collectives stay in lockstep.
         self.ds = dataset
         self.batch_size = batch_size
         self.transform_size = [tuple(s) for s in transform_size]

@@ -20,7 +20,7 @@ reference's ``init.kaiming_normal_(mode='fan_out')``.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax.numpy as jnp
 import flax.linen as nn

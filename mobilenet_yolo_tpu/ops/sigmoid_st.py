@@ -11,7 +11,6 @@ BCE-with-logits gradient shape ``(sigma(x) - t)`` scaled by the MSE weights
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 @jax.custom_vjp

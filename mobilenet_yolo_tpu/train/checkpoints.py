@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from mobilenet_yolo_tpu.train.state import TrainState

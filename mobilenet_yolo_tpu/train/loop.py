@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Iterable, Optional
 
 import jax
@@ -24,8 +24,8 @@ from mobilenet_yolo_tpu.parallel.mesh import shard_batch
 from mobilenet_yolo_tpu.train.checkpoints import CheckpointManager
 from mobilenet_yolo_tpu.train.hpo import NoOpReport, ReportHook
 from mobilenet_yolo_tpu.train.schedule import learning_rate_for_epoch
-from mobilenet_yolo_tpu.train.state import TrainState, create_train_state, make_optimizer
-from mobilenet_yolo_tpu.train.step import make_eval_step, make_train_step
+from mobilenet_yolo_tpu.train.state import create_train_state
+from mobilenet_yolo_tpu.train.step import make_train_step
 from mobilenet_yolo_tpu.utils.logger import Logger
 from mobilenet_yolo_tpu.utils.meters import MeterDict
 

@@ -14,8 +14,7 @@ per (H, W) bucket — jit caches on shapes, so this is automatic.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
