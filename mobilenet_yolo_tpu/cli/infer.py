@@ -21,11 +21,6 @@ import time
 
 import numpy as np
 
-DISTINCT_COLORS = ["#e6194b", "#3cb44b", "#ffe119", "#0082c8", "#f58231",
-                   "#911eb4", "#46f0f0", "#f032e6", "#d2f53c", "#fabebe",
-                   "#008080"]
-
-
 def get_args(argv=None):
     parser = argparse.ArgumentParser(description="YOLO Inference")
     parser.add_argument("-c", "--checkpoint", default="checkpoint", type=str,
@@ -72,7 +67,7 @@ def load_variables(model, checkpoint: str, example, random_ok=False):
 def main(args):
     import jax
     import jax.numpy as jnp
-    from PIL import Image, ImageDraw
+    from PIL import Image
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
     from mobilenet_yolo_tpu.config import load_config
@@ -101,40 +96,28 @@ def main(args):
     jax.block_until_ready(out[0])
     print("model inference time : ", (time.perf_counter() - t0) * 1000, "ms")
 
+    from mobilenet_yolo_tpu.utils.visualize import (
+        draw_detections, overlay_seg_maps, save_image)
+
     dets = np.asarray(out[0][0])
     keep = np.asarray(out[1][0])
     seg_maps = np.asarray(out[2][0]) if len(out) > 2 else None
 
-    draw = ImageDraw.Draw(original)
-    n_drawn = 0
-    for det, k in zip(dets, keep):
-        if not k:
-            continue
-        conf, cls_conf, cls_idx = det[4], det[5], int(det[6])
-        if conf * cls_conf <= 0.15:
-            continue
-        box = [det[0] * width, det[1] * height, det[2] * width, det[3] * height]
-        draw.rectangle(box, outline=DISTINCT_COLORS[0])
-        draw.text((box[0] + 3, max(0.0, box[1] - 10)),
-                  classes[cls_idx].lower(), fill="white")
-        n_drawn += 1
-    print(f"{n_drawn} detections drawn")
-
-    annotated = np.asarray(original).astype(np.float32)
+    # draw gate: conf * cls_conf > 0.15 (reference inference.py:83)
+    shown = dets[keep & (dets[:, 4] * dets[:, 5] > 0.15)]
+    print(f"{len(shown)} detections drawn")
+    annotated = draw_detections(
+        np.asarray(original), shown[:, :4],
+        labels=shown[:, 6].astype(int), scores=shown[:, 4] * shown[:, 5],
+        class_names=classes, normalized=True)
     if seg_maps is not None:
-        color_channel = [1, 0]  # G, R channels of RGB (ref uses BGR [1,2])
-        for idx in range(min(seg_maps.shape[-1], 2)):
-            m = np.asarray(Image.fromarray(
-                (seg_maps[..., idx] * 255).astype(np.uint8)).resize(
-                    (width, height), Image.BILINEAR), np.float32) / 255.0
-            mask = m > 0.5
-            ch = color_channel[idx]
-            annotated[..., ch][mask] = annotated[..., ch][mask] * (1.0 - m[mask])
+        # G/R channels of RGB (the reference blends BGR channels [1,2])
+        annotated = overlay_seg_maps(annotated, seg_maps, channels=(1, 0))
 
     os.makedirs(args.out_dir, exist_ok=True)
     name = os.path.basename(args.input).split(".")[0]
     out_path = os.path.join(args.out_dir, f"{name}_result.jpg")
-    Image.fromarray(annotated.astype(np.uint8)).save(out_path)
+    save_image(out_path, annotated)
     print(out_path)
     return out_path
 

@@ -132,11 +132,14 @@ def main(args):
     if args.synthetic:
         from mobilenet_yolo_tpu.data.synthetic import synthetic_batches
         bs = model_cfg["batch_size"]
+        epoch_counter = {"n": 0}
 
         def train_loader():
+            epoch_counter["n"] += 1  # fresh draws every epoch
             for images, gt, n_gt in synthetic_batches(
                     args.steps_per_epoch, bs, args.img_size,
-                    model_cfg["yolo"]["num_classes"]):
+                    model_cfg["yolo"]["num_classes"],
+                    seed=epoch_counter["n"] % 4):
                 yield {"images": images, "gt": gt, "n_gt": n_gt,
                        "count": bs}
 
@@ -147,25 +150,34 @@ def main(args):
             data_cfg = yaml.safe_load(f)
         from mobilenet_yolo_tpu.data.pipeline import DetectionDataset, Loader
         from mobilenet_yolo_tpu.data.records import RecordReader
+        seg_nc = int(data_cfg.get("segmentation_num_classes", 0))
         train_ds = DetectionDataset(
             RecordReader(data_cfg["trainval_dataset_path"]["lmdb"]),
             phase="train", expand_scale=model_cfg["expand_scale"],
-            has_seg=segmentation,
-            seg_num_classes=int(data_cfg.get("segmentation_num_classes", 0)))
+            has_seg=segmentation, seg_num_classes=seg_nc)
+        # eval records carry seg maps too when segmentation is on, so the
+        # evaluator can report seg mIoU alongside detection mAP
         test_ds = DetectionDataset(
-            RecordReader(data_cfg["test_dataset_path"]["lmdb"]), phase="test")
+            RecordReader(data_cfg["test_dataset_path"]["lmdb"]),
+            phase="test", has_seg=segmentation, seg_num_classes=seg_nc)
         norm = model_cfg["normalize"]
         bs = model_cfg["batch_size"]
 
+        # construct ONCE: Loader.__iter__ advances its epoch counter, which
+        # reseeds the shuffle/augmentation plan every epoch
+        train_loader_obj = Loader(train_ds, bs, model_cfg["train_img_size"],
+                                  norm["mean"], norm["std"],
+                                  mosaic_num=model_cfg["mosaic_num"])
+        eval_loader_obj = Loader(test_ds, bs,
+                                 [[model_cfg["img_w"], model_cfg["img_h"]]],
+                                 norm["mean"], norm["std"], shuffle=False,
+                                 pad_final=False)
+
         def train_loader():
-            return Loader(train_ds, bs, model_cfg["train_img_size"],
-                          norm["mean"], norm["std"],
-                          mosaic_num=model_cfg["mosaic_num"])
+            return train_loader_obj
 
         def eval_loader():
-            return Loader(test_ds, bs,
-                          [[model_cfg["img_w"], model_cfg["img_h"]]],
-                          norm["mean"], norm["std"], shuffle=False)
+            return eval_loader_obj
 
     if args.evaluate:
         mAP, aps = trainer.evaluate(eval_loader())

@@ -9,8 +9,12 @@ hidden tensor entirely in VMEM:
     x_tile -> 1x1 expand (MXU) -> ReLU6 -> 3x3 depthwise (9 rolled VPU
     FMAs) -> ReLU6 -> 1x1 project (MXU) [-> + residual] -> out_tile
 
-BatchNorms are pre-folded into the conv weights/biases by the caller
-(models/fused_mbv2.py), so the kernel sees plain conv+bias.
+BatchNorms must be pre-folded into the conv weights/biases by the caller
+(see models/bn_fold.py for the folding math), so the kernel sees plain
+conv+bias. Status: numerically exact vs XLA (tests/test_pallas_fused.py)
+but NOT wired into the model forward — measured slower than XLA's convs
+on the current toolchain (PERF.md "What was tried"); kept as a tested
+starting point for future toolchains.
 
 Layout/tiling notes (v5e):
 * grid over (batch, row-tiles); the input row window overlaps (TH+2 rows

@@ -52,6 +52,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place a host pytree of batch arrays onto the mesh, batch-sharded."""
+    """Place a host pytree of batch arrays onto the mesh, batch-sharded.
+
+    Single-host: plain device_put with the global sharding. Multi-host:
+    each process holds only its slice of the global batch (the input
+    pipeline shards per process), so assemble the global array from the
+    process-local shards instead — device_put would treat the local slice
+    as the whole global array.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -129,3 +129,31 @@ def test_backbone_mapping_key_names():
     assert "backbone.features2.0.conv.0.weight" in keys      # block13 expand
     assert "backbone.conv.0.weight" in keys                  # head 1x1
     assert "backbone.features.0.1.running_mean" in keys      # stem bn stats
+
+
+def test_load_torch_state_dict_canonicalizes_keys(tmp_path):
+    """Both checkpoint key forms must canonicalize to the module naming
+    (features2.N) that the mappings use: detector checkpoints already carry
+    it; bare ImageNet backbones use a continuous features.{0..17}."""
+    torch = pytest.importorskip("torch")
+    from tools.convert_torch import load_torch_state_dict
+
+    # ImageNet-style: continuous features indices (+ module. prefix)
+    sd = {"module.features.14.conv.0.weight": torch.zeros(2, 2, 1, 1),
+          "features.13.conv.0.weight": torch.zeros(2, 2, 1, 1),
+          "conv.0.weight": torch.zeros(2, 2, 1, 1)}
+    path = str(tmp_path / "imagenet.pth")
+    torch.save(sd, path)
+    out = load_torch_state_dict(path)
+    assert "features2.0.conv.0.weight" in out      # 14 -> features2.0
+    assert "features.13.conv.0.weight" in out      # stage-1 untouched
+    assert "conv.0.weight" in out
+
+    # detector-style: features2 keys pass through unchanged
+    sd2 = {"backbone.features2.3.conv.0.weight": torch.zeros(1),
+           "yolo_headS32.3.bias": torch.zeros(1)}
+    path2 = str(tmp_path / "detector.pth.tar")
+    torch.save({"model": sd2}, path2)
+    out2 = load_torch_state_dict(path2)
+    assert "backbone.features2.3.conv.0.weight" in out2
+    assert "yolo_headS32.3.bias" in out2

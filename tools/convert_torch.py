@@ -219,12 +219,17 @@ def load_torch_state_dict(path: str) -> dict:
         obj = obj["model"]            # per-epoch checkpoint dict
     elif isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
-    # ImageNet backbone remap (mobilenetv2.py:167-179)
+    # Canonicalize to the reference *module* naming (features2.N for the
+    # stage-2 blocks), which all mappings here use. Detector checkpoints
+    # (model.state_dict()) already carry features2.N; bare ImageNet
+    # checkpoints use a single continuous features.{0..17} Sequential
+    # (mobilenetv2.py:167-179 remaps in the other direction when loading),
+    # so rename features.{14..17} back to features2.{0..3}.
     remapped = {}
     for k, v in obj.items():
         k = k.replace("module.", "")
         for i in range(4):
-            k = k.replace(f"features2.{i}.", f"features.{14 + i}.")
+            k = k.replace(f"features.{14 + i}.", f"features2.{i}.")
         remapped[k] = v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
     return remapped
 
