@@ -27,10 +27,14 @@ def make_predict_fn(
     top_k: int = 256,
     iou_threshold: float = 0.45,
     use_pallas_nms: bool | None = None,
+    normalize: bool = False,
 ) -> Callable:
     """Build ``predict(variables, images, val_conf) -> (dets, keep[, seg])``.
 
-    * images: (B, H, W, 3) normalized NHWC batch
+    * images: (B, H, W, 3) normalized NHWC batch. With ``normalize=True``
+      the fn instead takes raw [0, 255] images (uint8 or float) and applies
+      the config's mean/std on device — serving can then ship uint8 over
+      the host->device link (4x less transfer than f32).
     * dets:   (B, K, 7) ``(x1,y1,x2,y2,conf,cls_score,cls_idx)`` normalized
     * keep:   (B, K) validity mask
     * seg:    (B, H/16, W/16, seg_classes) sigmoid maps, if the model has a
@@ -50,10 +54,17 @@ def make_predict_fn(
         # XLA as the default until the batched-kernel variant lands
         use_pallas_nms = False
 
+    if normalize:
+        norm_cfg = config.get("normalize", {"mean": [0.5] * 3, "std": [1.0] * 3})
+        norm_mean = np.asarray(norm_cfg["mean"], np.float32)
+        norm_std = np.asarray(norm_cfg["std"], np.float32)
+
     @partial(jax.jit, static_argnames=())
     def predict(variables: Any, images: jax.Array, val_conf: jax.Array):
         h, w = images.shape[1], images.shape[2]
         anchors_norm = scaled_anchors(anchors_px, w, h)
+        if normalize:
+            images = (images.astype(jnp.float32) / 255.0 - norm_mean) / norm_std
         outputs = model.apply(variables, images, train=False)
 
         flats = []

@@ -84,3 +84,25 @@ def test_predict_fn_seg_output():
     seg = np.asarray(out[2])
     assert seg.shape == (1, 4, 4, 2)
     assert (seg >= 0).all() and (seg <= 1).all()  # sigmoid maps
+
+
+def test_predict_fn_device_normalization_matches_host():
+    """normalize=True on raw uint8 images == host-side normalization."""
+    import numpy as np
+    model = MBv2YOLO(num_classes=4, num_anchors=3, width_mult=0.35)
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    cfg = dict(CFG, normalize={"mean": [0.4, 0.5, 0.6], "std": [0.2, 0.25, 0.3]})
+    mean = np.asarray(cfg["normalize"]["mean"], np.float32)
+    std = np.asarray(cfg["normalize"]["std"], np.float32)
+    host_norm = (raw.astype(np.float32) / 255.0 - mean) / std
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, 64, 64, 3)), train=False)
+    p_host = make_predict_fn(model, cfg, top_k=32)
+    p_dev = make_predict_fn(model, cfg, top_k=32, normalize=True)
+    d1, k1 = p_host(variables, jnp.asarray(host_norm), jnp.float32(0.1))
+    d2, k2 = p_dev(variables, jnp.asarray(raw), jnp.float32(0.1))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
