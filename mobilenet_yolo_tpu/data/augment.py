@@ -113,24 +113,62 @@ def photometric_distort(img: np.ndarray, rng: np.random.Generator) -> np.ndarray
 
 # ------------------------------------------------------------- pixel noise
 
-def _box_blur(img: np.ndarray, k: int) -> np.ndarray:
-    """Separable box blur approximating the imgaug gaussian (cheap, host-side)."""
-    x = img.astype(np.float32)
-    pad = k // 2
+def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable true-gaussian blur, sigma in pixels, edge-padded.
+
+    Matches imgaug GaussianBlur semantics: sigma below a small epsilon is
+    the identity; kernel truncated at 3 sigma.
+    """
+    if sigma < 1e-3:
+        return img.astype(np.float32)
+    radius = max(1, int(round(3.0 * sigma)))
+    t = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (t / sigma) ** 2)
+    k /= k.sum()
+    out = img.astype(np.float32)
     for axis in (0, 1):
-        xp = np.pad(x, [(pad, pad) if a == axis else (0, 0)
-                        for a in range(x.ndim)], mode="edge")
-        c = np.cumsum(xp, axis=axis)
-        lead = np.take(c, range(k - 1, xp.shape[axis] - 1), axis=axis)
-        lag = np.take(c, range(0, xp.shape[axis] - k), axis=axis)
-        first = np.take(c, [k - 1], axis=axis)
-        x = np.concatenate([first, lead - lag], axis=axis) / k
-    return x
+        pad = [(radius, radius) if a == axis else (0, 0)
+               for a in range(out.ndim)]
+        xp = np.pad(out, pad, mode="edge")
+        win = np.lib.stride_tricks.sliding_window_view(
+            xp, 2 * radius + 1, axis=axis)
+        out = win @ k
+    return out
+
+
+def median_blur(img: np.ndarray, k: int) -> np.ndarray:
+    """k x k local-median filter, edge-padded (imgaug MedianBlur)."""
+    pad = k // 2
+    xp = np.pad(img, [(pad, pad), (pad, pad)] + [(0, 0)] * (img.ndim - 2),
+                mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(xp, (k, k), axis=(0, 1))
+    return np.median(win, axis=(-2, -1)).astype(np.float32)
+
+
+def sharpen(img: np.ndarray, alpha: float, lightness: float) -> np.ndarray:
+    """imgaug Sharpen: 3x3 kernel (1-a)*I + a*[[-1..],[-1,8+l,-1],[-1..]].
+
+    Convolution is linear, so blending the kernels equals blending the
+    outputs; computed as (8+lightness)*center - sum(8 neighbors) via
+    shifted views.
+    """
+    x = img.astype(np.float32)
+    xp = np.pad(x, [(1, 1), (1, 1)] + [(0, 0)] * (x.ndim - 2), mode="edge")
+    h, w = x.shape[:2]
+    neigh = np.zeros_like(x)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
+                continue
+            neigh += xp[dy:dy + h, dx:dx + w]
+    effect = (8.0 + lightness) * x - neigh
+    return (1.0 - alpha) * x + alpha * effect
 
 
 def pixel_noise(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Sometimes(0.5, SomeOf(1-2, [blur|median, sharpen, noise]))
-    (reference folder2lmdb.py:29-42)."""
+    """Sometimes(0.5, SomeOf((1,2), [OneOf(gaussian|median blur), sharpen,
+    additive gaussian noise], random_order)) — reference folder2lmdb.py:29-42
+    with imgaug's sampled parameter distributions."""
     if rng.random() >= 0.5:
         return img
     ops = ["blur", "sharpen", "noise"]
@@ -139,14 +177,14 @@ def pixel_noise(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     out = img.astype(np.float32)
     for op in ops[:n]:
         if op == "blur":
-            k = int(rng.choice([3, 5]))
-            out = _box_blur(out, k)
+            if rng.random() < 0.5:
+                out = gaussian_blur(out, float(rng.uniform(0.0, 1.0)))
+            else:
+                out = median_blur(out, int(rng.choice([3, 5])))
         elif op == "sharpen":
             alpha = rng.uniform(0, 0.1)
             light = rng.uniform(0.9, 1.1)
-            blurred = _box_blur(out, 3)
-            out = (1 - alpha) * out + alpha * np.clip(
-                out * light + (out - blurred) * 2.0, 0, 255)
+            out = np.clip(sharpen(out, alpha, light), 0, 255)
         else:
             scale = rng.uniform(0.0, 0.03 * 255)
             if rng.random() < 0.3:

@@ -56,6 +56,56 @@ def test_pixel_noise_preserves_shape(rng):
     assert out.shape == img.shape and out.dtype == np.uint8
 
 
+def test_gaussian_blur_matches_dense_conv(rng):
+    img = rng.integers(0, 255, (12, 14, 3), np.uint8)
+    sigma = 0.8
+    radius = max(1, int(round(3.0 * sigma)))
+    t = np.arange(-radius, radius + 1, dtype=np.float64)
+    k1 = np.exp(-0.5 * (t / sigma) ** 2)
+    k1 /= k1.sum()
+    k2 = np.outer(k1, k1)
+    xp = np.pad(img.astype(np.float64),
+                [(radius, radius), (radius, radius), (0, 0)], mode="edge")
+    want = np.zeros(img.shape, np.float64)
+    for dy in range(2 * radius + 1):
+        for dx in range(2 * radius + 1):
+            want += k2[dy, dx] * xp[dy:dy + 12, dx:dx + 14]
+    got = augment.gaussian_blur(img, sigma)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+    # sub-epsilon sigma is the identity
+    np.testing.assert_array_equal(augment.gaussian_blur(img, 0.0), img)
+
+
+def test_median_blur_matches_naive(rng):
+    img = rng.integers(0, 255, (10, 11, 3), np.uint8)
+    for k in (3, 5):
+        pad = k // 2
+        xp = np.pad(img, [(pad, pad), (pad, pad), (0, 0)], mode="edge")
+        want = np.empty(img.shape, np.float32)
+        for y in range(10):
+            for x in range(11):
+                want[y, x] = np.median(
+                    xp[y:y + k, x:x + k].reshape(-1, 3), axis=0)
+        np.testing.assert_allclose(augment.median_blur(img, k), want)
+
+
+def test_sharpen_matches_dense_kernel(rng):
+    img = rng.integers(0, 255, (9, 9, 3), np.uint8)
+    alpha, light = 0.07, 1.05
+    kern = np.full((3, 3), -1.0)
+    kern[1, 1] = 8.0 + light
+    ident = np.zeros((3, 3))
+    ident[1, 1] = 1.0
+    blended = (1 - alpha) * ident + alpha * kern
+    xp = np.pad(img.astype(np.float64), [(1, 1), (1, 1), (0, 0)], mode="edge")
+    want = np.zeros(img.shape, np.float64)
+    for dy in range(3):
+        for dx in range(3):
+            want += blended[dy, dx] * xp[dy:dy + 9, dx:dx + 9]
+    got = augment.sharpen(img, alpha, light)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
 def test_mosaic_mask_partitions():
     rng = np.random.default_rng(0)
     for num in (1, 2, 3, 4):
