@@ -106,6 +106,7 @@ def main(args):
         checkpoint_dir=args.checkpoint,
         tensorboard_dir=(os.environ["NNI_OUTPUT_DIR"] + "/tensorboard"
                          if "NNI_OUTPUT_DIR" in os.environ else "tensorboard"),
+        nms_top_k=int(model_cfg.get("nms_top_k", 512)),
     )
     trainer = Trainer(model, model_cfg, classes_name, tcfg,
                       segmentation=segmentation, report=make_report_hook())

@@ -67,8 +67,14 @@ def parse_coco_json(path: str, classes: list[str], ori_classes: list[str]):
 
 def to_yolo_labels(boxes, labels, difficulties, width, height,
                    keep_difficult: bool = False) -> np.ndarray:
-    """Pixel corners -> normalized (label, cx, cy, w, h) rows
-    (od_dataset_from_file.py:106-131)."""
+    """Pixel corners -> normalized (label, cx, cy, w, h, difficult) rows
+    (od_dataset_from_file.py:106-131).
+
+    With ``keep_difficult=False`` difficult boxes are dropped, matching the
+    reference build (folder2lmdb.py:295-307 passes difficultie=False). With
+    True they are kept WITH their flag, so VOC-protocol eval (difficult
+    matches neither TP nor FN, eval_mAP.py:8-67) works end-to-end.
+    """
     rows = []
     for box, label, diff in zip(boxes, labels, difficulties):
         if not keep_difficult and diff:
@@ -77,8 +83,8 @@ def to_yolo_labels(boxes, labels, difficulties, width, height,
         y = (box[1] + box[3]) / 2 / height
         w = (box[2] - box[0]) / width
         h = (box[3] - box[1]) / height
-        rows.append([label, x, y, w, h])
-    return np.asarray(rows, np.float32).reshape(-1, 5)
+        rows.append([label, x, y, w, h, float(diff)])
+    return np.asarray(rows, np.float32).reshape(-1, 6)
 
 
 def resolve_items(imgs, annos, lists, ext_img, ext_anno,
@@ -134,7 +140,13 @@ def _encode_image(path: str, quality: int = 98) -> tuple[bytes, int, int]:
 
 def _encode_seg(path: str) -> bytes:
     import cv2
-    img = cv2.imread(path)
+    # IMREAD_UNCHANGED keeps single-channel class-id maps single-channel
+    # (the default imread would replicate them to BGR, tripling the shard
+    # bytes); palette PNGs still come back BGR-expanded and are rejected
+    # at load time by pipeline._decode_seg's replicated-channel assert.
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise IOError(f"cannot read segmentation map {path}")
     ok, buf = cv2.imencode(".png", img, [int(cv2.IMWRITE_PNG_COMPRESSION), 1])
     if not ok:
         raise IOError(f"cannot encode {path}")
@@ -189,6 +201,10 @@ def build_dataset(data_yaml: str, log=print):
     ext_anno = data["extention_names"]["annotation"]
     segmentation = bool(data.get("segmentation_enable", False))
     ext_seg = data["extention_names"].get("segmentation", ["png"])
+    # keep_difficult: false matches the reference build (difficult boxes
+    # dropped); true carries them flagged for VOC-protocol evaluation
+    keep_difficult = bool(data.get("keep_difficult", False))
     for split in ("trainval_dataset_path", "test_dataset_path"):
         build_split(data[split], classes, ori_classes, ext_img, ext_anno,
-                    segmentation, ext_seg, log=log)
+                    segmentation, ext_seg, keep_difficult=keep_difficult,
+                    log=log)

@@ -42,7 +42,10 @@ def mosaic(group, size, rng: np.random.Generator):
     background = np.zeros((H, W, 3), np.float32)
     num = len(group)
     mask = generate_mosaic_mask(num, size, rng)
-    all_labels = [np.zeros((0, 5), np.float32)]
+    # column-agnostic: rows may carry extra per-box fields (e.g. the
+    # difficult flag) after the (cls, cx, cy, w, h) prefix
+    ncols = max((lab.shape[1] for _, lab in group if lab.ndim == 2), default=5)
+    all_labels = [np.zeros((0, ncols), np.float32)]
 
     for counter, (img, labels) in enumerate(group):
         tile = mask[counter]

@@ -38,10 +38,24 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
 
 
 def _decode_seg(buf: bytes) -> np.ndarray:
+    """Decode a segmentation PNG to a 2-D class-id map.
+
+    The reference reads class-id maps directly (folder2lmdb.py:106). A
+    single-channel PNG is used as-is; a 3-channel PNG must carry the id
+    replicated across channels (grayscale conversion of a palette-expanded
+    id map would silently mangle ids, so that case asserts instead).
+    """
     import cv2
     arr = np.frombuffer(buf, np.uint8)
-    img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
-    return cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    img = cv2.imdecode(arr, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise IOError("cannot decode segmentation record")
+    if img.ndim == 2:
+        return img
+    assert (img[..., :1] == img[..., 1:]).all(), (
+        "3-channel seg PNG is not a replicated class-id map; rebuild the "
+        "dataset with single-channel id maps (palette PNGs are not ids)")
+    return img[..., 0]
 
 
 def _resize(img: np.ndarray, w: int, h: int, area: bool = False) -> np.ndarray:
@@ -68,8 +82,8 @@ class DetectionDataset:
 
     def get_single(self, index: int, rng: np.random.Generator,
                    allow_expand: bool = True):
-        """Returns (image uint8 HWC RGB, labels (n,5) normalized cxcywh,
-        seg class-id map or None)."""
+        """Returns (image uint8 HWC RGB, labels (n,6) normalized
+        (cls,cx,cy,w,h,difficult), seg class-id map or None)."""
         rec = self.reader[index]
         img = _decode_jpeg(rec.image_bytes)
         seg = _decode_seg(rec.seg_bytes) if (self.has_seg and rec.seg_bytes) else None
@@ -83,7 +97,8 @@ class DetectionDataset:
         else:
             boxes = np.zeros((0, 4), np.float32)
         cls = labels[:, 0] if labels.shape[0] else np.zeros((0,), np.float32)
-        difficulties = np.zeros_like(cls)
+        difficulties = (labels[:, 5] if labels.shape[0]
+                        else np.zeros((0,), np.float32))
 
         if self.phase == "train" and self.apply_noise:
             img = augment.pixel_noise(img, rng)
@@ -99,9 +114,10 @@ class DetectionDataset:
             bh = (boxes[:, 3] - boxes[:, 1]) / nh
             cx = boxes[:, 0] / nw + bw / 2
             cy = boxes[:, 1] / nh + bh / 2
-            rows = np.stack([cls, cx, cy, bw, bh], -1).astype(np.float32)
+            rows = np.stack([cls, cx, cy, bw, bh, difficulties],
+                            -1).astype(np.float32)
         else:
-            rows = np.zeros((0, 5), np.float32)
+            rows = np.zeros((0, 6), np.float32)
         return img, rows, seg
 
     def get_group(self, indices: list[int], rng: np.random.Generator):
@@ -204,6 +220,7 @@ class Loader:
         seg_w, seg_h = w // 16, h // 16
         images = np.empty((len(samples), h, w, 3), np.float32)
         gt = np.zeros((len(samples), self.max_gt, 5), np.float32)
+        gt_difficult = np.zeros((len(samples), self.max_gt), np.float32)
         n_gt = np.zeros((len(samples),), np.int32)
         seg_maps = None
         if self.ds.has_seg:
@@ -214,7 +231,8 @@ class Loader:
             img = _resize(img, w, h).astype(np.float32) / 255.0
             images[i] = (img - self.mean) / self.std
             n = min(rows.shape[0], self.max_gt)
-            gt[i, :n] = rows[:n]
+            gt[i, :n] = rows[:n, :5]
+            gt_difficult[i, :n] = rows[:n, 5]
             n_gt[i] = n
             count += n_src
             if seg_maps is not None and seg is not None:
@@ -222,7 +240,8 @@ class Loader:
                     mask = (seg == c).astype(np.float32) * 255.0
                     seg_maps[i, ..., c - 1] = _resize(mask, seg_w, seg_h,
                                                       area=True) / 255.0
-        batch = {"images": images, "gt": gt, "n_gt": n_gt, "count": count}
+        batch = {"images": images, "gt": gt, "n_gt": n_gt, "count": count,
+                 "gt_difficult": gt_difficult}
         if seg_maps is not None:
             batch["seg_maps"] = seg_maps
         return batch

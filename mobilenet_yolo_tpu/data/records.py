@@ -8,11 +8,16 @@ pure-Python fallback reading the identical on-disk format.
 
 Record payload schema (little-endian, explicit rather than pickled):
 
-    u32 magic 0x59524543, u32 n_labels,
+    u32 magic 0x59524544, u32 n_labels,
     u64 img_len, u64 seg_len,
-    f32 labels[n_labels, 5]   (label, cx, cy, w, h) normalized,
+    f32 labels[n_labels, 6]   (label, cx, cy, w, h, difficult) normalized,
     u8  img_bytes[img_len]    (encoded JPEG),
     u8  seg_bytes[seg_len]    (encoded PNG, optional)
+
+The per-box ``difficult`` flag carries the VOC annotation attribute so the
+11-point AP's difficult-skip protocol (reference eval_mAP.py:8-67) works
+against real shards. v1 shards (magic 0x59524543, 5-col rows) still read —
+they decode with difficult=0 everywhere.
 """
 
 from __future__ import annotations
@@ -27,7 +32,8 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
-_MAGIC = 0x59524543
+_MAGIC_V1 = 0x59524543   # 5-col rows (label, cx, cy, w, h)
+_MAGIC = 0x59524544      # 6-col rows (+ difficult)
 _HEADER = struct.Struct("<IIQQ")
 
 _LIB = None
@@ -82,13 +88,22 @@ def _load_native():
 
 class Record(NamedTuple):
     image_bytes: bytes
-    labels: np.ndarray            # (N, 5) float32 (label, cx, cy, w, h)
+    labels: np.ndarray            # (N, 6) f32 (label, cx, cy, w, h, difficult)
     seg_bytes: Optional[bytes]    # encoded PNG or None
 
 
 def encode_record(image_bytes: bytes, labels: np.ndarray,
                   seg_bytes: Optional[bytes] = None) -> bytes:
-    labels = np.ascontiguousarray(labels, dtype=np.float32).reshape(-1, 5)
+    """labels: (N, 5) or (N, 6) rows; 5-col input gets difficult=0."""
+    labels = np.ascontiguousarray(labels, dtype=np.float32)
+    if labels.size == 0:
+        labels = labels.reshape(0, 6)
+    elif labels.shape[-1] == 5:
+        labels = np.concatenate(
+            [labels.reshape(-1, 5),
+             np.zeros((labels.reshape(-1, 5).shape[0], 1), np.float32)], -1)
+    else:
+        labels = labels.reshape(-1, 6)
     seg = seg_bytes or b""
     header = _HEADER.pack(_MAGIC, labels.shape[0], len(image_bytes), len(seg))
     return header + labels.tobytes() + image_bytes + seg
@@ -96,11 +111,19 @@ def encode_record(image_bytes: bytes, labels: np.ndarray,
 
 def decode_record(buf: bytes) -> Record:
     magic, n_labels, img_len, seg_len = _HEADER.unpack_from(buf, 0)
-    if magic != _MAGIC:
+    if magic == _MAGIC:
+        cols = 6
+    elif magic == _MAGIC_V1:
+        cols = 5
+    else:
         raise ValueError("bad record magic")
     off = _HEADER.size
-    labels = np.frombuffer(buf, np.float32, n_labels * 5, off).reshape(-1, 5)
-    off += n_labels * 5 * 4
+    labels = np.frombuffer(buf, np.float32,
+                           n_labels * cols, off).reshape(-1, cols)
+    if cols == 5:  # v1 shard: difficult flag was never stored
+        labels = np.concatenate(
+            [labels, np.zeros((labels.shape[0], 1), np.float32)], -1)
+    off += n_labels * cols * 4
     img = bytes(buf[off:off + img_len])
     off += img_len
     seg = bytes(buf[off:off + seg_len]) if seg_len else None

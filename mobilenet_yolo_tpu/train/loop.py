@@ -63,6 +63,13 @@ class TrainerConfig:
     log_suffix_every: int = 10
     tensorboard_dir: Optional[str] = None
     max_gt: int = 90
+    # NMS top-K horizon for evaluation. The reference's ragged pipeline has
+    # no cap (utils/box.py:11-31); early-training eval at the val_conf floor
+    # (0.01) passes many hundreds of candidates per image, and clipping them
+    # skews both mAP and the controller's pred-box count. 512 covers the
+    # post-gate candidate count in practice; override via model yaml
+    # ``nms_top_k`` for very dense scenes.
+    nms_top_k: int = 512
 
 
 class Trainer:
@@ -84,7 +91,7 @@ class Trainer:
             learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay)
         self.train_step = make_train_step(model, model_cfg, self.tx,
                                           segmentation=segmentation, mesh=mesh)
-        self.predict = make_predict_fn(model, model_cfg)
+        self.predict = make_predict_fn(model, model_cfg, top_k=cfg.nms_top_k)
         self.ckpt = CheckpointManager(cfg.checkpoint_dir)
         self.tb = TensorBoardWriter(cfg.tensorboard_dir)
         self.logger = None
@@ -151,15 +158,18 @@ class Trainer:
         for batch in loader:
             images = jnp.asarray(batch["images"])
             n = images.shape[0]
-            if batch_size is None:
-                batch_size = n  # pad every later (tail) batch to the first size
+            # pad every batch up to the largest size seen so far, so an
+            # iterable with a bigger-than-first batch still pads instead of
+            # silently recompiling per shape (at worst a couple of compiles)
+            batch_size = n if batch_size is None else max(batch_size, n)
             if n < batch_size:
                 images = jnp.concatenate(
                     [images, jnp.zeros((batch_size - n,) + images.shape[1:],
                                        images.dtype)])
             out = self.predict(variables, images, val_conf)
             dets, keep = out[0][:n], out[1][:n]
-            ev.add_batch(dets, keep, batch["gt"], batch["n_gt"])
+            ev.add_batch(dets, keep, batch["gt"], batch["n_gt"],
+                         difficulties=batch.get("gt_difficult"))
             if len(out) > 2 and "seg_maps" in batch:
                 if seg_acc is None:
                     seg_acc = SegMetricAccumulator(out[2].shape[-1])

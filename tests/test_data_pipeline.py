@@ -182,6 +182,64 @@ def test_record_pipeline_end_to_end(tmp_path, rng):
     assert all(b["n_gt"].max() <= 1 for b in bt)
 
 
+def test_difficult_flag_end_to_end(tmp_path, rng):
+    """Difficulty threads shard -> Loader -> Evaluator -> VOC AP protocol:
+    a detection matching a difficult GT is neither TP nor FP, and the
+    difficult GT never counts as a missed box (eval_mAP.py:8-67)."""
+    cv2 = pytest.importorskip("cv2")
+    from mobilenet_yolo_tpu.data.pipeline import DetectionDataset, Loader
+    from mobilenet_yolo_tpu.data.records import RecordReader, RecordWriter
+    from mobilenet_yolo_tpu.eval.evaluator import Evaluator
+
+    d = str(tmp_path / "shard")
+    # (cls, cx, cy, w, h, difficult)
+    per_image = [
+        np.asarray([[1, 0.3, 0.3, 0.2, 0.2, 0.0],
+                    [1, 0.7, 0.7, 0.2, 0.2, 1.0]], np.float32),
+        np.asarray([[1, 0.5, 0.5, 0.4, 0.4, 0.0]], np.float32),
+    ]
+    with RecordWriter(d) as w:
+        for labels in per_image:
+            img = rng.integers(0, 255, (80, 80, 3), np.uint8)
+            ok, buf = cv2.imencode(".jpg", img)
+            w.append_record(buf.tobytes(), labels)
+
+    ds = DetectionDataset(RecordReader(d), phase="test")
+    loader = Loader(ds, batch_size=2, transform_size=[[64, 64]],
+                    mean=[0.5] * 3, std=[1.0] * 3, shuffle=False, prefetch=0,
+                    max_gt=4)
+    batch = next(iter(loader))
+    np.testing.assert_allclose(batch["gt_difficult"][0, :2], [0.0, 1.0])
+    np.testing.assert_allclose(batch["gt_difficult"][1, :1], [0.0])
+
+    # fabricate detections that hit every GT box exactly (cls_idx 0 -> label 1)
+    def det_rows(labels):
+        cx, cy, w, h = labels[:, 1], labels[:, 2], labels[:, 3], labels[:, 4]
+        boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+        return np.concatenate(
+            [boxes, np.full((len(boxes), 1), 0.9, np.float32),
+             np.full((len(boxes), 1), 0.9, np.float32),
+             np.zeros((len(boxes), 1), np.float32)], -1)
+
+    K = 4
+    dets = np.zeros((2, K, 7), np.float32)
+    keep = np.zeros((2, K), bool)
+    for b, labels in enumerate(per_image):
+        rows = det_rows(labels)
+        dets[b, :len(rows)] = rows
+        keep[b, :len(rows)] = True
+
+    ev = Evaluator(["background", "c1"])
+    ev.add_batch(dets, keep, batch["gt"], batch["n_gt"],
+                 difficulties=batch["gt_difficult"])
+    aps, mAP, tp, fp = ev.compute()
+    # 2 easy GT both matched -> recall 1, precision 1 at every threshold;
+    # the difficult match is ignored (no FP) -> AP exactly 1.0. If the flag
+    # were dropped, max recall would be 2/3 and AP < 1.
+    assert mAP == pytest.approx(1.0)
+    assert tp["c1"] == 2 and fp["c1"] == 0
+
+
 def test_seg_rasterization(tmp_path, rng):
     cv2 = pytest.importorskip("cv2")
     from mobilenet_yolo_tpu.data.pipeline import DetectionDataset, Loader

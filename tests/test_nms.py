@@ -61,6 +61,29 @@ def test_nms_matches_oracle(rng):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_nms_low_conf_floor_matches_uncapped_oracle(rng):
+    """Early-training eval regime: val_conf at the 0.01 floor passes many
+    hundreds of candidates per image. The default eval top_k (512, see
+    TrainerConfig.nms_top_k) must cover the post-gate candidate count so
+    the detection set is IDENTICAL to the reference's uncapped host NMS
+    (utils/box.py:11-31), not silently clipped."""
+    preds = _random_preds(rng, B=2, N=450, C=20)
+    val_conf = 0.01  # the controller's floor (reference train.py:434-440)
+    dets, keep = batched_nms(jnp.asarray(preds), val_conf, top_k=512)
+    dets = np.asarray(dets)
+    keep = np.asarray(keep)
+    for b in range(preds.shape[0]):
+        got = dets[b][keep[b]]
+        want = oracle_nms(preds[b], val_conf)
+
+        def canon(x):
+            order = np.lexsort((-(x[:, 4] * x[:, 5]), x[:, 6]))
+            return x[order]
+        got, want = canon(got), canon(want)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_nms_identical_boxes_same_class_suppressed():
     p = np.zeros((1, 3, 7), np.float32)
     p[0, :, :4] = [0.1, 0.1, 0.5, 0.5]

@@ -23,14 +23,15 @@ def _roundtrip(tmp_path, force_python_read):
     assert len(r) == 3
     rec0 = r[0]
     assert rec0.image_bytes == b"jpegbytes0"
-    np.testing.assert_allclose(rec0.labels, labels)
+    np.testing.assert_allclose(rec0.labels[:, :5], labels)
+    np.testing.assert_allclose(rec0.labels[:, 5], 0.0)  # 5-col in -> diff=0
     assert rec0.seg_bytes is None
     rec1 = r[1]
     assert rec1.image_bytes == b"jpegbytes1"
     assert rec1.seg_bytes == b"pngbytes"
     rec2 = r[2]
     assert rec2.image_bytes == b""
-    assert rec2.labels.shape == (0, 5)
+    assert rec2.labels.shape == (0, 6)
     assert r.meta["num_records"] == 3
     r.close()
 
@@ -66,7 +67,27 @@ def test_encode_decode_record():
     rec = decode_record(encode_record(b"abc", labels, b"seg"))
     assert rec.image_bytes == b"abc"
     assert rec.seg_bytes == b"seg"
+    np.testing.assert_allclose(rec.labels[:, :5], labels)
+
+
+def test_encode_decode_difficult_flag():
+    labels = np.asarray([[2, 0.3, 0.4, 0.1, 0.2, 1.0],
+                         [1, 0.6, 0.6, 0.2, 0.2, 0.0]], np.float32)
+    rec = decode_record(encode_record(b"abc", labels))
     np.testing.assert_allclose(rec.labels, labels)
+
+
+def test_v1_record_decodes_with_zero_difficulty():
+    """5-col v1 shards (magic 0x59524543) still decode, difficult=0."""
+    import struct
+    labels = np.asarray([[2, 0.3, 0.4, 0.1, 0.2]], np.float32)
+    header = struct.pack("<IIQQ", 0x59524543, 1, 3, 0)
+    buf = header + labels.tobytes() + b"abc"
+    rec = decode_record(buf)
+    assert rec.image_bytes == b"abc"
+    assert rec.labels.shape == (1, 6)
+    np.testing.assert_allclose(rec.labels[:, :5], labels)
+    np.testing.assert_allclose(rec.labels[:, 5], 0.0)
 
 
 def test_bad_magic_raises():
