@@ -31,24 +31,28 @@ from mobilenet_yolo_tpu.utils.meters import MeterDict
 
 
 class TensorBoardWriter:
-    """Scalar writer (reference train.py:49-51,200-217); no-op without TF."""
+    """Scalar writer (reference train.py:49-51,200-217).
+
+    Writes real TF event files through the dependency-free
+    ``utils/tb_writer.py`` encoder — no tensorflow import (slow on this
+    host) and no silent scalar dropping when TF is absent.
+    """
 
     def __init__(self, logdir: Optional[str]):
         self._writer = None
         if logdir:
-            try:
-                import tensorflow as tf
-                self._writer = tf.summary.create_file_writer(logdir)
-            except Exception:
-                self._writer = None
+            from mobilenet_yolo_tpu.utils.tb_writer import EventFileWriter
+            self._writer = EventFileWriter(logdir)
 
     def scalar(self, tag: str, value: float, step: int):
         if self._writer is None:
             return
-        import tensorflow as tf
-        with self._writer.as_default():
-            tf.summary.scalar(tag, float(value), step=step)
+        self._writer.scalar(tag, float(value), step)
         self._writer.flush()
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
 
 
 @dataclass
@@ -221,6 +225,7 @@ class Trainer:
                                 time.time() - st, iou, stats["lr"]])
         self.report.final(self.best_acc)
         self.ckpt.close()
+        self.tb.close()
         if self.logger:
             self.logger.close()
         return self.best_acc
