@@ -17,7 +17,6 @@ import argparse
 from mobilenet_yolo_tpu.config import default_data_yaml
 
 import os
-import time
 
 import numpy as np
 
@@ -91,10 +90,15 @@ def main(args):
     predict = make_predict_fn(model, cfg.model)
     out = predict(variables, x, jnp.float32(args.val_conf))  # compile
     jax.block_until_ready(out[0])
-    t0 = time.perf_counter()
-    out = predict(variables, x, jnp.float32(args.val_conf))
-    jax.block_until_ready(out[0])
-    print("model inference time : ", (time.perf_counter() - t0) * 1000, "ms")
+    # block_until_ready is untrustworthy under this remote-execution relay
+    # (PERF.md: ~40x undercount); chained_timer serializes iterations via a
+    # data dependency and bounds the chain with one scalar fetch.
+    from mobilenet_yolo_tpu.utils.profiling import chained_timer
+    per_call = chained_timer(
+        lambda img: predict(variables, img, jnp.float32(args.val_conf))[0],
+        x, iters=16, warmup=2)
+    print(f"model inference time : {per_call * 1000:.2f} ms "
+          f"(chained mean of 16)")
 
     from mobilenet_yolo_tpu.utils.visualize import (
         draw_detections, overlay_seg_maps, save_image)
