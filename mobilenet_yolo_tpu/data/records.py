@@ -188,6 +188,7 @@ class RecordReader:
 
     def __init__(self, directory: str, force_python: bool = False):
         self.directory = directory
+        self._force_python = force_python
         self._lib = None if force_python else _load_native()
         if self._lib is not None:
             self._rs = self._lib.rs_open(directory.encode())
@@ -228,6 +229,19 @@ class RecordReader:
         if self._lib is not None and getattr(self, "_rs", None):
             self._lib.rs_close(self._rs)
             self._rs = None
+
+    # ------------------------------------------------------------ pickling
+    # ctypes CDLL handles and mmap pointers cannot cross a process
+    # boundary; serialize only (directory, mode) and reopen the shard in
+    # the worker. This is what makes grain num_workers>0 (and any other
+    # multiprocess consumer) safe.
+    def __getstate__(self):
+        return {"directory": self.directory,
+                "force_python": self._force_python}
+
+    def __setstate__(self, state):
+        self.__init__(state["directory"],
+                      force_python=state["force_python"])
 
     def __del__(self):
         try:

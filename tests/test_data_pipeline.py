@@ -294,6 +294,71 @@ def test_grain_loader_matches_contract(tmp_path, rng):
         assert np.isfinite(b["images"]).all()
 
 
+def test_record_reader_pickles_across_processes(tmp_path, rng):
+    """The native reader's ctypes handles must not cross process
+    boundaries; pickling serializes (directory, mode) and reopens."""
+    import pickle
+
+    from mobilenet_yolo_tpu.data.records import RecordReader, RecordWriter
+
+    d = str(tmp_path / "shard")
+    labels = np.asarray([[1, 0.5, 0.5, 0.4, 0.5, 0.0]], np.float32)
+    with RecordWriter(d) as w:
+        for _ in range(4):
+            w.append_record(b"payload", labels)
+
+    r = RecordReader(d)
+    r2 = pickle.loads(pickle.dumps(r))
+    assert len(r2) == 4
+    np.testing.assert_allclose(r2[1].labels, labels)
+
+    import multiprocessing as mp
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(1) as pool:
+        n = pool.apply(_read_len, (r,))
+    assert n == 4
+
+
+def _read_len(reader):
+    rec = reader[0]
+    assert rec.image_bytes == b"payload"
+    return len(reader)
+
+
+def test_grain_loader_mp_workers(tmp_path, rng):
+    """grain num_workers>0: the Loader (holding a native RecordReader)
+    is shipped to worker processes and must produce the same batches as
+    the in-process path."""
+    cv2 = pytest.importorskip("cv2")
+    pytest.importorskip("grain")
+    from mobilenet_yolo_tpu.data.grain_pipeline import GrainLoader
+    from mobilenet_yolo_tpu.data.pipeline import DetectionDataset
+    from mobilenet_yolo_tpu.data.records import RecordReader, RecordWriter
+
+    d = str(tmp_path / "shard")
+    with RecordWriter(d) as w:
+        for i in range(8):
+            img = rng.integers(0, 255, (60, 80, 3), np.uint8)
+            ok, buf = cv2.imencode(".jpg", img)
+            labels = np.asarray([[1 + i % 2, 0.5, 0.5, 0.4, 0.5]], np.float32)
+            w.append_record(buf.tobytes(), labels)
+
+    def make_loader(num_workers):
+        ds = DetectionDataset(RecordReader(d), phase="train",
+                              apply_noise=False)
+        return GrainLoader(ds, batch_size=4, transform_size=[[64, 64]],
+                           mean=[0.5] * 3, std=[1.0] * 3, mosaic_num=[1],
+                           max_gt=8, prefetch=0, num_workers=num_workers,
+                           shard_by_process=False)
+
+    got = list(make_loader(num_workers=2))
+    want = list(make_loader(num_workers=0))
+    assert len(got) == len(want) > 0
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(g["images"], w_["images"])
+        np.testing.assert_allclose(g["gt"], w_["gt"])
+
+
 def test_multi_host_sharded_plan(tmp_path, rng):
     """Simulated multi-host sharding: each host yields its shard of the
     SAME global batch — equal step counts, matching (H, W) per step, and
