@@ -47,6 +47,9 @@ def get_params(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 compute (f32 params + f32 loss numerics);"
                              " ~1.9x faster training on TPU")
+    parser.add_argument("--host-normalize", action="store_true",
+                        help="normalize images on host (default: ship uint8"
+                             " and normalize on device, which is faster)")
     # smoke-mode extras
     parser.add_argument("--synthetic", action="store_true",
                         help="train on synthetic data (no dataset needed)")
@@ -108,8 +111,10 @@ def main(args):
                          if "NNI_OUTPUT_DIR" in os.environ else "tensorboard"),
         nms_top_k=int(model_cfg.get("nms_top_k", 512)),
     )
+    device_normalize = not args.synthetic and not args.host_normalize
     trainer = Trainer(model, model_cfg, classes_name, tcfg,
-                      segmentation=segmentation, report=make_report_hook())
+                      segmentation=segmentation, report=make_report_hook(),
+                      device_normalize=device_normalize)
 
     if args.init_from:
         from mobilenet_yolo_tpu.tools_io import load_params_npz
@@ -168,11 +173,13 @@ def main(args):
         # reseeds the shuffle/augmentation plan every epoch
         train_loader_obj = Loader(train_ds, bs, model_cfg["train_img_size"],
                                   norm["mean"], norm["std"],
-                                  mosaic_num=model_cfg["mosaic_num"])
+                                  mosaic_num=model_cfg["mosaic_num"],
+                                  output_uint8=device_normalize)
         eval_loader_obj = Loader(test_ds, bs,
                                  [[model_cfg["img_w"], model_cfg["img_h"]]],
                                  norm["mean"], norm["std"], shuffle=False,
-                                 pad_final=False)
+                                 pad_final=False,
+                                 output_uint8=device_normalize)
 
         def train_loader():
             return train_loader_obj

@@ -26,6 +26,24 @@ from __future__ import annotations
 import numpy as np
 
 
+def _try_cv2():
+    """cv2 accelerates the hot filters ~10-100x on the 1-core host (and is
+    what imgaug itself uses); every op keeps a numpy fallback with
+    identical math, cross-tested in tests/test_data_pipeline.py."""
+    global _CV2
+    if _CV2 is _UNSET:
+        try:
+            import cv2
+            _CV2 = cv2
+        except ImportError:
+            _CV2 = None
+    return _CV2
+
+
+_UNSET = object()
+_CV2 = _UNSET
+
+
 # --------------------------------------------------------------- photometric
 
 def _blend(a: np.ndarray, b: np.ndarray, factor: float) -> np.ndarray:
@@ -52,6 +70,12 @@ def adjust_saturation(img: np.ndarray, factor: float) -> np.ndarray:
 
 def adjust_hue(img: np.ndarray, delta: float) -> np.ndarray:
     """delta in [-0.5, 0.5] revolutions (torchvision convention)."""
+    cv2 = _try_cv2()
+    if cv2 is not None:
+        hsv = cv2.cvtColor(np.ascontiguousarray(img, np.float32) / 255.0,
+                           cv2.COLOR_RGB2HSV)  # H in degrees for float input
+        hsv[..., 0] = (hsv[..., 0] + delta * 360.0) % 360.0
+        return np.clip(cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB) * 255.0, 0, 255)
     hsv = _rgb_to_hsv(img.astype(np.float32) / 255.0)
     hsv[..., 0] = (hsv[..., 0] + delta) % 1.0
     return np.clip(_hsv_to_rgb(hsv) * 255.0, 0, 255)
@@ -122,6 +146,11 @@ def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
     if sigma < 1e-3:
         return img.astype(np.float32)
     radius = max(1, int(round(3.0 * sigma)))
+    cv2 = _try_cv2()
+    if cv2 is not None:
+        return cv2.GaussianBlur(img.astype(np.float32),
+                                (2 * radius + 1, 2 * radius + 1), sigma,
+                                borderType=cv2.BORDER_REPLICATE)
     t = np.arange(-radius, radius + 1, dtype=np.float32)
     k = np.exp(-0.5 * (t / sigma) ** 2)
     k /= k.sum()
@@ -138,6 +167,10 @@ def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
 
 def median_blur(img: np.ndarray, k: int) -> np.ndarray:
     """k x k local-median filter, edge-padded (imgaug MedianBlur)."""
+    cv2 = _try_cv2()
+    if cv2 is not None and k in (3, 5):
+        # cv2.medianBlur replicates the border, same as the edge pad below
+        return cv2.medianBlur(np.ascontiguousarray(img, np.float32), k)
     pad = k // 2
     xp = np.pad(img, [(pad, pad), (pad, pad)] + [(0, 0)] * (img.ndim - 2),
                 mode="edge")
@@ -149,10 +182,14 @@ def sharpen(img: np.ndarray, alpha: float, lightness: float) -> np.ndarray:
     """imgaug Sharpen: 3x3 kernel (1-a)*I + a*[[-1..],[-1,8+l,-1],[-1..]].
 
     Convolution is linear, so blending the kernels equals blending the
-    outputs; computed as (8+lightness)*center - sum(8 neighbors) via
-    shifted views.
+    outputs.
     """
     x = img.astype(np.float32)
+    cv2 = _try_cv2()
+    if cv2 is not None:
+        kern = np.full((3, 3), -alpha, np.float32)
+        kern[1, 1] = (1.0 - alpha) + alpha * (8.0 + lightness)
+        return cv2.filter2D(x, -1, kern, borderType=cv2.BORDER_REPLICATE)
     xp = np.pad(x, [(1, 1), (1, 1)] + [(0, 0)] * (x.ndim - 2), mode="edge")
     h, w = x.shape[:2]
     neigh = np.zeros_like(x)
@@ -186,11 +223,12 @@ def pixel_noise(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
             light = rng.uniform(0.9, 1.1)
             out = np.clip(sharpen(out, alpha, light), 0, 255)
         else:
-            scale = rng.uniform(0.0, 0.03 * 255)
+            scale = np.float32(rng.uniform(0.0, 0.03 * 255))
             if rng.random() < 0.3:
-                noise = rng.normal(0, scale, out.shape)
+                noise = rng.standard_normal(out.shape, np.float32) * scale
             else:
-                noise = rng.normal(0, scale, out.shape[:2])[..., None]
+                noise = (rng.standard_normal(out.shape[:2], np.float32)
+                         * scale)[..., None]
             out = out + noise
     return np.clip(out, 0, 255).astype(np.uint8)
 

@@ -142,7 +142,8 @@ class Loader:
                  transform_size, mean, std, mosaic_num=(1,),
                  max_gt: int = 90, shuffle: bool = True, seed: int = 0,
                  drop_last: bool = False, prefetch: int = 2,
-                 pad_final: bool = True, shard_by_process: bool | None = None):
+                 pad_final: bool = True, shard_by_process: bool | None = None,
+                 output_uint8: bool = False):
         # pad_final keeps every batch at exactly batch_size samples by
         # wrapping indices on the final partial batch — XLA compiles one
         # program per (batch, H, W) shape, so ragged tail batches are a
@@ -166,6 +167,15 @@ class Loader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.pad_final = pad_final
+        # output_uint8: emit raw [0,255] uint8 batches and let the jitted
+        # step normalize on device (make_train_step(normalize=True) /
+        # make_predict_fn(normalize=True)). Saves the two host float passes
+        # per image (the single biggest collate cost on a 1-core host) and
+        # 4x of the host->device transfer.
+        self.output_uint8 = output_uint8
+        # fused host normalization: x*scale + bias == ((x/255) - mean)/std
+        self._scale = (1.0 / (255.0 * self.std)).astype(np.float32)
+        self._bias = (-self.mean / self.std).astype(np.float32)
         if shard_by_process is None:
             import jax
             shard_by_process = jax.process_count() > 1
@@ -218,7 +228,8 @@ class Loader:
         rasterize (folder2lmdb.py:223-265)."""
         w, h = self.transform_size[size_idx]
         seg_w, seg_h = w // 16, h // 16
-        images = np.empty((len(samples), h, w, 3), np.float32)
+        images = np.empty((len(samples), h, w, 3),
+                          np.uint8 if self.output_uint8 else np.float32)
         gt = np.zeros((len(samples), self.max_gt, 5), np.float32)
         gt_difficult = np.zeros((len(samples), self.max_gt), np.float32)
         n_gt = np.zeros((len(samples),), np.int32)
@@ -228,8 +239,16 @@ class Loader:
                                  self.ds.seg_num_classes), np.float32)
         count = 0
         for i, (img, rows, seg, n_src) in enumerate(samples):
-            img = _resize(img, w, h).astype(np.float32) / 255.0
-            images[i] = (img - self.mean) / self.std
+            resized = _resize(img, w, h)
+            if self.output_uint8:
+                images[i] = resized
+            else:
+                # fused two-pass normalize into the batch slot (no
+                # intermediate temporaries; ~20x less host float traffic
+                # than the naive ((x/255)-mean)/std chain)
+                np.multiply(resized, self._scale, out=images[i],
+                            casting="unsafe")
+                images[i] += self._bias
             n = min(rows.shape[0], self.max_gt)
             gt[i, :n] = rows[:n, :5]
             gt_difficult[i, :n] = rows[:n, 5]

@@ -29,8 +29,16 @@ from mobilenet_yolo_tpu.train.state import TrainState
 HEAD_KEYS = ("out0", "out1")
 
 
-def make_loss_fn(model, config: dict, segmentation: bool = False) -> Callable:
-    """Pure loss over (params, batch_stats, batch) -> (loss, aux)."""
+def make_loss_fn(model, config: dict, segmentation: bool = False,
+                 normalize: bool = False) -> Callable:
+    """Pure loss over (params, batch_stats, batch) -> (loss, aux).
+
+    With ``normalize=True`` the step takes RAW [0, 255] images (uint8 or
+    float) and applies the config's mean/std on device — the host pipeline
+    then ships uint8 (4x less host->device traffic) and skips its two
+    float passes per image, the training-path counterpart of the serving
+    trick in eval/detector.py.
+    """
     yolo_cfg = config["yolo"]
     anchors_px = np.asarray(yolo_cfg["anchors"], np.float32)
     masks = [list(m) for m in yolo_cfg["mask"]]
@@ -38,8 +46,16 @@ def make_loss_fn(model, config: dict, segmentation: bool = False) -> Callable:
     iou_thresh = float(yolo_cfg["iou_thresh"])
     iou_weighting = float(config.get("iou_weighting", 0.01))
     num_classes = int(yolo_cfg["num_classes"])
+    if normalize:
+        norm_cfg = config.get("normalize",
+                              {"mean": [0.5] * 3, "std": [1.0] * 3})
+        norm_mean = np.asarray(norm_cfg["mean"], np.float32)
+        norm_std = np.asarray(norm_cfg["std"], np.float32)
 
     def loss_fn(params, batch_stats, images, gt, n_gt, seg_maps=None, train=True):
+        if normalize:
+            images = (images.astype(jnp.float32) / 255.0
+                      - norm_mean) / norm_std
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             outputs, mutated = model.apply(variables, images, train=True,
@@ -83,10 +99,11 @@ def make_train_step(
     tx: optax.GradientTransformation,
     segmentation: bool = False,
     mesh=None,
+    normalize: bool = False,
 ) -> Callable:
     """Returns ``train_step(state, images, gt, n_gt[, seg_maps]) ->
     (state, metrics)``, jitted (and GSPMD-sharded when a mesh is given)."""
-    loss_fn = make_loss_fn(model, config, segmentation)
+    loss_fn = make_loss_fn(model, config, segmentation, normalize=normalize)
 
     def step(state: TrainState, images, gt, n_gt, seg_maps=None):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -89,6 +89,38 @@ def test_median_blur_matches_naive(rng):
         np.testing.assert_allclose(augment.median_blur(img, k), want)
 
 
+def test_cv2_and_numpy_filter_paths_agree(rng):
+    """The cv2-accelerated filters must match the numpy fallbacks (same
+    math, same replicate border)."""
+    pytest.importorskip("cv2")
+    img = rng.integers(0, 255, (24, 30, 3), np.uint8)
+
+    def numpy_path(fn, *a):
+        saved = augment._CV2
+        augment._CV2 = None
+        try:
+            return fn(*a)
+        finally:
+            augment._CV2 = saved
+
+    augment._try_cv2()  # ensure cv2 is loaded for the fast path
+    for sigma in (0.4, 0.9):
+        np.testing.assert_allclose(
+            augment.gaussian_blur(img, sigma),
+            numpy_path(augment.gaussian_blur, img, sigma), atol=2e-3)
+    for k in (3, 5):
+        np.testing.assert_allclose(
+            augment.median_blur(img, k),
+            numpy_path(augment.median_blur, img, k), atol=1e-5)
+    np.testing.assert_allclose(
+        augment.sharpen(img, 0.08, 1.05),
+        numpy_path(augment.sharpen, img, 0.08, 1.05), atol=2e-3)
+    np.testing.assert_allclose(
+        augment.adjust_hue(img.astype(np.float32), 0.07),
+        numpy_path(augment.adjust_hue, img.astype(np.float32), 0.07),
+        atol=0.05)
+
+
 def test_sharpen_matches_dense_kernel(rng):
     img = rng.integers(0, 255, (9, 9, 3), np.uint8)
     alpha, light = 0.07, 1.05
@@ -238,6 +270,41 @@ def test_difficult_flag_end_to_end(tmp_path, rng):
     # were dropped, max recall would be 2/3 and AP < 1.
     assert mAP == pytest.approx(1.0)
     assert tp["c1"] == 2 and fp["c1"] == 0
+
+
+def test_uint8_loader_matches_float_loader(tmp_path, rng):
+    """output_uint8 batches, normalized on 'device' with the config's
+    mean/std, must equal the host-normalized float batches."""
+    cv2 = pytest.importorskip("cv2")
+    from mobilenet_yolo_tpu.data.pipeline import DetectionDataset, Loader
+    from mobilenet_yolo_tpu.data.records import RecordReader, RecordWriter
+
+    d = str(tmp_path / "shard")
+    with RecordWriter(d) as w:
+        for i in range(6):
+            img = rng.integers(0, 255, (70, 90, 3), np.uint8)
+            ok, buf = cv2.imencode(".jpg", img)
+            w.append_record(buf.tobytes(),
+                            np.asarray([[1, 0.5, 0.5, 0.4, 0.5]], np.float32))
+
+    mean, std = [0.45, 0.5, 0.55], [0.9, 1.0, 1.1]
+
+    def batches(uint8):
+        ds = DetectionDataset(RecordReader(d), phase="test")
+        ld = Loader(ds, 3, [[64, 64]], mean, std, shuffle=False, prefetch=0,
+                    output_uint8=uint8, shard_by_process=False)
+        return list(ld)
+
+    f_batches = batches(False)
+    u_batches = batches(True)
+    assert len(f_batches) == len(u_batches)
+    m = np.asarray(mean, np.float32)
+    s = np.asarray(std, np.float32)
+    for fb, ub in zip(f_batches, u_batches):
+        assert ub["images"].dtype == np.uint8
+        devnorm = (ub["images"].astype(np.float32) / 255.0 - m) / s
+        np.testing.assert_allclose(fb["images"], devnorm, atol=1e-5)
+        np.testing.assert_allclose(fb["gt"], ub["gt"])
 
 
 def test_seg_rasterization(tmp_path, rng):

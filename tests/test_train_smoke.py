@@ -44,6 +44,38 @@ def test_train_smoke_loss_decreases():
     assert "recall0" in metrics and "recall1" in metrics
 
 
+def test_device_normalize_step_matches_host_normalize():
+    """make_loss_fn(normalize=True) on raw uint8 images must equal the
+    plain loss on host-normalized floats (identical numerics, the uint8
+    path just moves the mean/std math into the jitted step)."""
+    from mobilenet_yolo_tpu.train.step import make_loss_fn
+
+    cfg = dict(CFG)
+    cfg["normalize"] = {"mean": [0.45, 0.5, 0.55], "std": [0.9, 1.0, 1.1]}
+    model = MBv2YOLO(num_classes=4, num_anchors=3, width_mult=0.35)
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 255, (2, 96, 96, 3)).astype(np.uint8)
+    m = np.asarray(cfg["normalize"]["mean"], np.float32)
+    s = np.asarray(cfg["normalize"]["std"], np.float32)
+    host_norm = (raw.astype(np.float32) / 255.0 - m) / s
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(host_norm), train=False)
+    gt = np.zeros((2, 4, 5), np.float32)
+    gt[:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    n_gt = np.ones((2,), np.int32)
+
+    plain = make_loss_fn(model, cfg)
+    fused = make_loss_fn(model, cfg, normalize=True)
+    loss_a, _ = plain(variables["params"], variables["batch_stats"],
+                      jnp.asarray(host_norm), jnp.asarray(gt),
+                      jnp.asarray(n_gt), train=False)
+    loss_b, _ = fused(variables["params"], variables["batch_stats"],
+                      jnp.asarray(raw), jnp.asarray(gt),
+                      jnp.asarray(n_gt), train=False)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+
+
 def test_lr_schedule():
     # base recipe: no warmup, halve at {100,170,240} (train.py:467)
     assert learning_rate_for_epoch(8e-4, 0) == 8e-4
