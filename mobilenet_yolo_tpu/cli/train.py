@@ -50,6 +50,12 @@ def get_params(argv=None):
     parser.add_argument("--host-normalize", action="store_true",
                         help="normalize images on host (default: ship uint8"
                              " and normalize on device, which is faster)")
+    parser.add_argument("--device-pixel-aug", action="store_true",
+                        help="run color jitter + additive noise on device"
+                             " (ops/device_augment.py) instead of the host;"
+                             " frees ~7 ms/img of host time on slow hosts."
+                             " Note: jitter op order is fixed on device"
+                             " (host shuffles it per image)")
     # smoke-mode extras
     parser.add_argument("--synthetic", action="store_true",
                         help="train on synthetic data (no dataset needed)")
@@ -112,9 +118,11 @@ def main(args):
         nms_top_k=int(model_cfg.get("nms_top_k", 512)),
     )
     device_normalize = not args.synthetic and not args.host_normalize
+    device_pixel_aug = args.device_pixel_aug and device_normalize
     trainer = Trainer(model, model_cfg, classes_name, tcfg,
                       segmentation=segmentation, report=make_report_hook(),
-                      device_normalize=device_normalize)
+                      device_normalize=device_normalize,
+                      device_pixel_aug=device_pixel_aug)
 
     if args.init_from:
         from mobilenet_yolo_tpu.tools_io import load_params_npz
@@ -160,7 +168,9 @@ def main(args):
         train_ds = DetectionDataset(
             RecordReader(data_cfg["trainval_dataset_path"]["lmdb"]),
             phase="train", expand_scale=model_cfg["expand_scale"],
-            has_seg=segmentation, seg_num_classes=seg_nc)
+            has_seg=segmentation, seg_num_classes=seg_nc,
+            apply_noise=not device_pixel_aug,
+            apply_photometric=not device_pixel_aug)
         # eval records carry seg maps too when segmentation is on, so the
         # evaluator can report seg mIoU alongside detection mAP
         test_ds = DetectionDataset(

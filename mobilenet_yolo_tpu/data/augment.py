@@ -320,13 +320,16 @@ def transform_od(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
                  difficulties: np.ndarray, rng: np.random.Generator,
                  mean=(0.5, 0.5, 0.5), phase: str = "train",
                  allow_expand: bool = True, expand_scale: float = 1.5,
-                 seg: np.ndarray | None = None):
+                 seg: np.ndarray | None = None, photometric: bool = True):
     """Full train-time pipeline (reference :279-334): photometric ->
-    expand(p=.5) -> random crop -> hflip(p=.5). Test phase is identity."""
+    expand(p=.5) -> random crop -> hflip(p=.5). Test phase is identity.
+    ``photometric=False`` skips the pixelwise distortion (it then runs on
+    device, ops/device_augment.py)."""
     assert phase in ("train", "test")
     if phase == "test":
         return img, boxes, labels, difficulties, seg
-    img = photometric_distort(img, rng)
+    if photometric:
+        img = photometric_distort(img, rng)
     if rng.random() < 0.5 and allow_expand:
         img, boxes, seg = expand(img, boxes, mean, expand_scale, rng, seg)
     img, boxes, labels, difficulties, seg = random_crop(

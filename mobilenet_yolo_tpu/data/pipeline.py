@@ -69,13 +69,17 @@ class DetectionDataset:
 
     def __init__(self, reader: RecordReader, phase: str = "train",
                  expand_scale: float = 1.5, has_seg: bool = False,
-                 seg_num_classes: int = 0, apply_noise: bool = True):
+                 seg_num_classes: int = 0, apply_noise: bool = True,
+                 apply_photometric: bool = True):
+        # apply_noise/apply_photometric=False move the pixelwise ops to the
+        # device (ops/device_augment.py via make_train_step(pixel_aug=True))
         self.reader = reader
         self.phase = phase
         self.expand_scale = expand_scale
         self.has_seg = has_seg
         self.seg_num_classes = seg_num_classes
         self.apply_noise = apply_noise
+        self.apply_photometric = apply_photometric
 
     def __len__(self):
         return len(self.reader)
@@ -106,7 +110,7 @@ class DetectionDataset:
             img, boxes, cls, difficulties, rng,
             mean=(0.5, 0.5, 0.5), phase=self.phase,
             allow_expand=allow_expand, expand_scale=self.expand_scale,
-            seg=seg)
+            seg=seg, photometric=self.apply_photometric)
 
         nh, nw = img.shape[:2]
         if boxes.shape[0]:

@@ -92,12 +92,21 @@ def run_evaluation(
     classes_name: list[str],
     val_conf: float,
 ):
-    """Convenience driver: returns (mAP, per-class APs, new_val_conf)."""
+    """Convenience driver: returns (mAP, per-class APs, new_val_conf).
+
+    ``batches``: (images, gt, n_gt[, gt_difficult]) tuples or Loader-style
+    dicts (which carry ``gt_difficult`` when the shard has the flag).
+    """
     ev = Evaluator(classes_name)
     for batch in batches:
-        images, gt, n_gt = batch[0], batch[1], batch[2]
+        if isinstance(batch, dict):
+            images, gt, n_gt = batch["images"], batch["gt"], batch["n_gt"]
+            diffs = batch.get("gt_difficult")
+        else:
+            images, gt, n_gt = batch[0], batch[1], batch[2]
+            diffs = batch[3] if len(batch) > 3 else None
         out = predict_fn(variables, images, val_conf)
         dets, keep = out[0], out[1]
-        ev.add_batch(dets, keep, gt, n_gt)
+        ev.add_batch(dets, keep, gt, n_gt, difficulties=diffs)
     aps, mAP, tp, fp = ev.compute()
     return mAP, aps, ev.adjusted_conf(val_conf)

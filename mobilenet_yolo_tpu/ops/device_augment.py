@@ -1,0 +1,131 @@
+"""Device-side pixel augmentation (jitted color jitter + noise).
+
+BASELINE.json's north-star asks for training-time image transforms as
+device-side jitted ops. Geometry (expand/crop/flip/mosaic) stays on host —
+it changes shapes and label sets — but the *pixelwise* ops (photometric
+distortion, reference utils/image_augmentation.py:169-198, and additive
+gaussian noise, folder2lmdb.py:38) are shape-preserving and run here as one
+fused XLA pass over the uint8 batch, keyed per image.
+
+Cost model: on the 1-core host these ops are ~7 ms/image of the ~16 ms
+budget (PERF.md); on device they fuse into the normalize pass for free.
+
+Distribution notes vs the host path:
+* each op still applies with p=0.5 and the same factor ranges
+  (brightness/contrast/saturation/gamma U(0.5,1.5), hue U(-18,18)/255);
+* op ORDER is fixed (brightness, contrast, saturation, hue, gamma) rather
+  than shuffled per image — a jit-friendly simplification, documented here
+  deliberately; per-op application is still independent per image.
+* gaussian noise matches imgaug AdditiveGaussianNoise(scale U(0, 0.03*255),
+  per_channel p=0.3); blur/median/sharpen stay host-side (rarely the
+  bottleneck once cv2-backed).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _luma(x):
+    return (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
+
+
+def _rgb_to_hsv(x):
+    """x in [0,1] -> (h in [0,1), s, v); vectorized, same math as the host
+    numpy path (data/augment.py)."""
+    mx = x.max(-1)
+    mn = x.min(-1)
+    diff = mx - mn
+    safe = jnp.where(diff == 0, 1.0, diff)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    h = jnp.where(mx == r, ((g - b) / safe) % 6.0,
+                  jnp.where(mx == g, (b - r) / safe + 2.0,
+                            (r - g) / safe + 4.0))
+    h = jnp.where(diff == 0, 0.0, h) / 6.0
+    s = jnp.where(mx == 0, 0.0, diff / jnp.where(mx == 0, 1.0, mx))
+    return h, s, mx
+
+
+def _hsv_to_rgb(h, s, v):
+    h6 = h * 6.0
+    i = jnp.floor(h6)
+    f = h6 - i
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    i = (i.astype(jnp.int32) % 6)[..., None]
+    opts = jnp.stack([
+        jnp.stack([v, t, p], -1), jnp.stack([q, v, p], -1),
+        jnp.stack([p, v, t], -1), jnp.stack([p, q, v], -1),
+        jnp.stack([t, p, v], -1), jnp.stack([v, p, q], -1)], 0)
+    idx = jnp.broadcast_to(i[None], (1,) + i.shape[:-1] + (3,))
+    return jnp.take_along_axis(opts, idx, axis=0)[0]
+
+
+def color_jitter(images: jax.Array, key: jax.Array) -> jax.Array:
+    """Per-image photometric distortion on a raw [0, 255] batch.
+
+    images: (B, H, W, 3) uint8 or float in [0, 255]. Returns float32 in
+    [0, 255]. Each sub-op applies with p=0.5 per image.
+    """
+    x = images.astype(jnp.float32)
+    b = x.shape[0]
+    keys = jax.random.split(key, 6)
+
+    def gate_and_factor(k, lo=0.5, hi=1.5):
+        ka, kb = jax.random.split(k)
+        apply = jax.random.uniform(ka, (b, 1, 1, 1)) < 0.5
+        f = jax.random.uniform(kb, (b, 1, 1, 1), minval=lo, maxval=hi)
+        return jnp.where(apply, f, 1.0)
+
+    # brightness: blend toward 0
+    fb = gate_and_factor(keys[0])
+    x = x * fb
+    # contrast: blend toward the grayscale mean
+    fc = gate_and_factor(keys[1])
+    mean = _luma(x).mean(axis=(1, 2))[:, None, None, None]
+    x = mean + fc * (x - mean)
+    # saturation: blend toward the grayscale image
+    fs = gate_and_factor(keys[2])
+    gray = _luma(x)[..., None]
+    x = gray + fs * (x - gray)
+    x = jnp.clip(x, 0.0, 255.0)
+    # hue: rotate in HSV
+    ka, kb = jax.random.split(keys[3])
+    apply_h = jax.random.uniform(ka, (b, 1, 1)) < 0.5
+    delta = jax.random.uniform(kb, (b, 1, 1), minval=-18 / 255.0,
+                               maxval=18 / 255.0)
+    h, s, v = _rgb_to_hsv(x / 255.0)
+    h = jnp.where(apply_h, (h + delta) % 1.0, h)
+    x = jnp.clip(_hsv_to_rgb(h, s, v) * 255.0, 0.0, 255.0)
+    # gamma
+    fg = gate_and_factor(keys[4])
+    x = jnp.clip((x / 255.0) ** fg * 255.0, 0.0, 255.0)
+    return x
+
+
+def additive_noise(images: jax.Array, key: jax.Array) -> jax.Array:
+    """imgaug AdditiveGaussianNoise: scale U(0, 0.03*255) per image,
+    per-channel draws with p=0.3, applied with p=0.5 (the Sometimes gate
+    of the reference pipeline, folder2lmdb.py:29-42 — noise is one of the
+    SomeOf ops; blur/sharpen remain host-side)."""
+    x = images.astype(jnp.float32)
+    b = x.shape[0]
+    k_gate, k_scale, k_pc, k_n3, k_n1 = jax.random.split(key, 5)
+    apply = jax.random.uniform(k_gate, (b, 1, 1, 1)) < 0.5
+    scale = jax.random.uniform(k_scale, (b, 1, 1, 1),
+                               maxval=0.03 * 255.0)
+    per_channel = jax.random.uniform(k_pc, (b, 1, 1, 1)) < 0.3
+    n3 = jax.random.normal(k_n3, x.shape)
+    n1 = jax.random.normal(k_n1, x.shape[:3])[..., None]
+    noise = jnp.where(per_channel, n3, n1) * scale
+    return jnp.clip(jnp.where(apply, x + noise, x), 0.0, 255.0)
+
+
+def device_pixel_aug(images: jax.Array, key: jax.Array) -> jax.Array:
+    """Full device-side pixel pipeline on a raw [0,255] batch: color
+    jitter then additive noise. Output float32 [0, 255] (feed to the
+    normalize step)."""
+    k1, k2 = jax.random.split(key)
+    return additive_noise(color_jitter(images, k1), k2)

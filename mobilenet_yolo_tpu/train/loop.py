@@ -80,11 +80,15 @@ class Trainer:
     def __init__(self, model, model_cfg: dict, classes_name: list[str],
                  cfg: TrainerConfig, segmentation: bool = False, mesh=None,
                  report: ReportHook | None = None, verbose: bool = True,
-                 device_normalize: bool = False):
+                 device_normalize: bool = False,
+                 device_pixel_aug: bool = False):
         # device_normalize: loaders emit raw [0,255] uint8 batches
         # (Loader(output_uint8=True)) and the jitted step/predict apply the
         # config's mean/std on device — less host work and 4x less
         # host->device transfer
+        # device_pixel_aug: additionally run color jitter + noise on device
+        # (ops/device_augment.py); pair with a host dataset built with
+        # apply_noise=False, apply_photometric=False
         self.model = model
         self.model_cfg = model_cfg
         self.classes_name = classes_name
@@ -98,9 +102,12 @@ class Trainer:
         self.state, self.tx = create_train_state(
             model, jax.random.PRNGKey(0), img_size,
             learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay)
+        self.device_pixel_aug = device_pixel_aug
         self.train_step = make_train_step(model, model_cfg, self.tx,
                                           segmentation=segmentation, mesh=mesh,
-                                          normalize=device_normalize)
+                                          normalize=device_normalize,
+                                          pixel_aug=device_pixel_aug)
+        self._aug_key = jax.random.PRNGKey(17)
         self.predict = make_predict_fn(model, model_cfg, top_k=cfg.nms_top_k,
                                        normalize=device_normalize)
         self.ckpt = CheckpointManager(cfg.checkpoint_dir)
@@ -136,7 +143,12 @@ class Trainer:
             if self.mesh is not None:
                 args = shard_batch(self.mesh, args)
                 seg = shard_batch(self.mesh, seg)
-            self.state, metrics = self.train_step(self.state, *args, *seg)
+            key = ()
+            if self.device_pixel_aug:
+                key = (jax.random.fold_in(self._aug_key,
+                                          epoch * 100003 + i),)
+            self.state, metrics = self.train_step(self.state, *args, *seg,
+                                                  *key)
             bs = batch["images"].shape[0]
             loss_val = float(metrics["loss"])
             if not np.isfinite(loss_val):
@@ -207,7 +219,7 @@ class Trainer:
             self.logger.set_names(["Epoch", "Loss", "Precision", "Time",
                                    "IOU", "LearningRate"])
         first = int(self.state.epoch) if start_epoch is None else start_epoch
-        test_acc = 0.0
+        test_acc = self.best_acc  # carried over a resume until the next eval
         for epoch in range(first, cfg.epochs):
             st = time.time()
             stats = self.train_epoch(train_loader_fn(), epoch)

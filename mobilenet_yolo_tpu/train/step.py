@@ -100,12 +100,24 @@ def make_train_step(
     segmentation: bool = False,
     mesh=None,
     normalize: bool = False,
+    pixel_aug: bool = False,
 ) -> Callable:
-    """Returns ``train_step(state, images, gt, n_gt[, seg_maps]) ->
-    (state, metrics)``, jitted (and GSPMD-sharded when a mesh is given)."""
+    """Returns ``train_step(state, images, gt, n_gt[, seg_maps][, aug_key])
+    -> (state, metrics)``, jitted (and GSPMD-sharded when a mesh is given).
+
+    ``pixel_aug=True`` (requires ``normalize=True``, i.e. raw uint8 input)
+    runs the device-side color jitter + noise (ops/device_augment.py)
+    inside the step, keyed by a required trailing ``aug_key`` argument —
+    the host pipeline then skips its photometric/noise passes entirely.
+    """
+    if pixel_aug and not normalize:
+        raise ValueError("pixel_aug requires normalize=True (raw images)")
     loss_fn = make_loss_fn(model, config, segmentation, normalize=normalize)
 
-    def step(state: TrainState, images, gt, n_gt, seg_maps=None):
+    def core(state: TrainState, images, gt, n_gt, seg_maps, aug_key):
+        if pixel_aug:
+            from mobilenet_yolo_tpu.ops.device_augment import device_pixel_aug
+            images = device_pixel_aug(images, aug_key)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_stats, metrics)), grads = grad_fn(
             state.params, state.batch_stats, images, gt, n_gt, seg_maps,
@@ -117,6 +129,21 @@ def make_train_step(
         )
         return new_state, metrics
 
+    # positional signature follows the enabled features: ...[, seg_maps]
+    # [, aug_key] — no optional-arg aliasing between the two
+    if segmentation and pixel_aug:
+        def step(state, images, gt, n_gt, seg_maps, aug_key):
+            return core(state, images, gt, n_gt, seg_maps, aug_key)
+    elif segmentation:
+        def step(state, images, gt, n_gt, seg_maps):
+            return core(state, images, gt, n_gt, seg_maps, None)
+    elif pixel_aug:
+        def step(state, images, gt, n_gt, aug_key):
+            return core(state, images, gt, n_gt, None, aug_key)
+    else:
+        def step(state, images, gt, n_gt):
+            return core(state, images, gt, n_gt, None, None)
+
     if mesh is not None:
         if mesh.shape.get("model", 1) > 1:
             # tensor-parallel state: placements are set on the arrays
@@ -124,7 +151,9 @@ def make_train_step(
             return jax.jit(step, donate_argnums=(0,))
         repl = replicated(mesh)
         data = batch_sharding(mesh)
-        in_sh = (repl, data, data, data) + ((data,) if segmentation else ())
+        in_sh = (repl, data, data, data) \
+            + ((data,) if segmentation else ()) \
+            + ((repl,) if pixel_aug else ())
         return jax.jit(
             step,
             in_shardings=in_sh,

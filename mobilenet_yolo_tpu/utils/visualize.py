@@ -43,6 +43,58 @@ def draw_detections(image: np.ndarray, boxes, labels=None, scores=None,
     return np.asarray(img)
 
 
+def draw_gt_sample(image: np.ndarray, rows: np.ndarray,
+                   class_names=None) -> np.ndarray:
+    """Render one training-pipeline sample with its GT (the counterpart of
+    the reference's ``show_image`` debug viewer, folder2lmdb.py:179-214):
+    ``rows`` are normalized (cls, cx, cy, w, h[, difficult]) label rows as
+    produced by DetectionDataset/mosaic. Difficult boxes are tagged '*'.
+    """
+    rows = np.asarray(rows).reshape(-1, rows.shape[-1])
+    cx, cy, w, h = rows[:, 1], rows[:, 2], rows[:, 3], rows[:, 4]
+    boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+    out = draw_detections(image, boxes, labels=rows[:, 0].astype(int),
+                          class_names=class_names, normalized=True)
+    if rows.shape[-1] > 5 and rows[:, 5].any():
+        from PIL import Image, ImageDraw
+        img = Image.fromarray(np.ascontiguousarray(out))
+        draw = ImageDraw.Draw(img)
+        hh, ww = image.shape[:2]
+        for r in rows[rows[:, 5] > 0]:
+            draw.text((float((r[1] - r[3] / 2) * ww) + 3,
+                       float((r[2] - r[4] / 2) * hh) + 3), "*",
+                      fill=(255, 0, 0))
+        out = np.asarray(img)
+    return out
+
+
+def dump_pipeline_samples(dataset, indices, out_dir: str,
+                          class_names=None, seed: int = 0,
+                          mosaic_group: int = 0) -> list[str]:
+    """Write augmented training samples (optionally mosaic groups) with
+    their GT drawn — the debugging aid for mosaic/crop label math the
+    reference exposed via show_image call sites (folder2lmdb.py:169,173).
+
+    ``indices``: sample indices; with ``mosaic_group=N>1`` consecutive
+    indices are composed into N-image mosaics first. Returns written paths.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    paths = []
+    group = max(1, int(mosaic_group))
+    chunks = [list(indices[i:i + group])
+              for i in range(0, len(indices), group)]
+    for chunk in chunks:
+        img, rows, _seg, _n = dataset.get_group(chunk, rng)
+        name = "gt_" + "_".join(str(i) for i in chunk) + ".jpg"
+        path = os.path.join(out_dir, name)
+        save_image(path, draw_gt_sample(img, rows, class_names))
+        paths.append(path)
+    return paths
+
+
 def overlay_seg_maps(image: np.ndarray, seg_maps: np.ndarray,
                      threshold: float = 0.5,
                      channels=(1, 0)) -> np.ndarray:

@@ -1,0 +1,101 @@
+"""Device-side pixel augmentation: math parity with the host ops, range
+invariants, and the pixel_aug train-step wiring."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mobilenet_yolo_tpu.data import augment as host_aug
+from mobilenet_yolo_tpu.ops import device_augment as dev
+
+
+def test_hsv_round_trip(rng):
+    x = jnp.asarray(rng.random((6, 8, 3)).astype(np.float32))
+    h, s, v = dev._rgb_to_hsv(x)
+    back = dev._hsv_to_rgb(h, s, v)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+def test_device_hsv_matches_host(rng):
+    x = rng.random((5, 7, 3)).astype(np.float32)
+    h, s, v = dev._rgb_to_hsv(jnp.asarray(x))
+    host = host_aug._rgb_to_hsv(x)
+    np.testing.assert_allclose(np.asarray(h), host[..., 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s), host[..., 1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), host[..., 2], atol=1e-5)
+
+
+def test_color_jitter_range_shape_determinism(rng):
+    imgs = rng.integers(0, 255, (4, 16, 20, 3)).astype(np.uint8)
+    key = jax.random.PRNGKey(3)
+    out1 = np.asarray(dev.color_jitter(jnp.asarray(imgs), key))
+    out2 = np.asarray(dev.color_jitter(jnp.asarray(imgs), key))
+    np.testing.assert_array_equal(out1, out2)  # keyed determinism
+    assert out1.shape == imgs.shape and out1.dtype == np.float32
+    assert out1.min() >= 0.0 and out1.max() <= 255.0
+    # different key -> different augmentation
+    out3 = np.asarray(dev.color_jitter(jnp.asarray(imgs),
+                                       jax.random.PRNGKey(4)))
+    assert not np.array_equal(out1, out3)
+
+
+def test_color_jitter_is_per_image(rng):
+    """Identical images in one batch must receive independent draws."""
+    img = rng.integers(0, 255, (16, 20, 3)).astype(np.uint8)
+    batch = jnp.asarray(np.stack([img] * 8))
+    out = np.asarray(dev.color_jitter(batch, jax.random.PRNGKey(0)))
+    diffs = [not np.array_equal(out[i], out[j])
+             for i in range(8) for j in range(i + 1, 8)]
+    assert any(diffs)
+
+
+def test_additive_noise_stats(rng):
+    imgs = jnp.full((64, 8, 8, 3), 128.0, jnp.float32)
+    out = np.asarray(dev.additive_noise(imgs, jax.random.PRNGKey(1)))
+    assert out.shape == imgs.shape
+    assert out.min() >= 0.0 and out.max() <= 255.0
+    changed = np.asarray([not np.allclose(out[i], 128.0) for i in range(64)])
+    # Sometimes(0.5) gate: roughly half the batch gets noise
+    assert 10 < changed.sum() < 54
+
+
+def test_pixel_aug_train_step_runs():
+    from mobilenet_yolo_tpu.models import MBv2YOLO
+    from mobilenet_yolo_tpu.train import create_train_state, make_train_step
+
+    cfg = {
+        "img_w": 64, "img_h": 64, "iou_weighting": 0.02,
+        "normalize": {"mean": [0.5] * 3, "std": [1.0] * 3},
+        "yolo": {
+            "num_classes": 2, "num_anchors": 3,
+            "ignore_thresh": [0.6, 0.55], "iou_thresh": 0.55,
+            "anchors": [[20, 24], [30, 30], [44, 40],
+                        [6, 8], [10, 14], [14, 10]],
+            "mask": [[0, 1, 2], [3, 4, 5]],
+        },
+    }
+    model = MBv2YOLO(num_classes=2, num_anchors=3, width_mult=0.35)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), (64, 64),
+                                   learning_rate=1e-3, batch_size=2)
+    step = make_train_step(model, cfg, tx, normalize=True, pixel_aug=True)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3)), jnp.uint8)
+    gt = np.zeros((2, 3, 5), np.float32)
+    gt[:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    state, metrics = step(state, images, jnp.asarray(gt),
+                          jnp.asarray([1, 1], np.int32),
+                          jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_pixel_aug_requires_normalize():
+    import pytest
+
+    from mobilenet_yolo_tpu.models import MBv2YOLO
+    from mobilenet_yolo_tpu.train import create_train_state, make_train_step
+
+    model = MBv2YOLO(num_classes=2, num_anchors=3, width_mult=0.35)
+    _, tx = create_train_state(model, jax.random.PRNGKey(0), (64, 64),
+                               learning_rate=1e-3, batch_size=2)
+    with pytest.raises(ValueError):
+        make_train_step(model, {"yolo": {}}, tx, pixel_aug=True)

@@ -1,6 +1,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from mobilenet_yolo_tpu.utils.logger import Logger, LoggerMonitor
 from mobilenet_yolo_tpu.utils.meters import AverageMeter, MeterDict, get_mean_and_std
@@ -97,3 +98,33 @@ def test_draw_and_overlay(tmp_path, rng):
     p = str(tmp_path / "x.png")
     save_image(p, out)
     assert os.path.getsize(p) > 0
+
+
+def test_gt_debug_renderer(tmp_path, rng):
+    """show_image counterpart: renders augmented pipeline samples (incl.
+    mosaic groups) with their GT rows drawn."""
+    pytest.importorskip("cv2")
+    import cv2
+
+    from mobilenet_yolo_tpu.data.pipeline import DetectionDataset
+    from mobilenet_yolo_tpu.data.records import RecordReader, RecordWriter
+    from mobilenet_yolo_tpu.utils.visualize import (
+        draw_gt_sample, dump_pipeline_samples)
+
+    img = rng.integers(0, 255, (60, 80, 3), np.uint8)
+    rows = np.asarray([[1, 0.4, 0.4, 0.3, 0.3, 0.0],
+                       [2, 0.7, 0.7, 0.2, 0.2, 1.0]], np.float32)
+    out = draw_gt_sample(img, rows, class_names=["bg", "a", "b"])
+    assert out.shape == img.shape and not np.array_equal(out, img)
+
+    d = str(tmp_path / "shard")
+    with RecordWriter(d) as w:
+        for _ in range(4):
+            ok, buf = cv2.imencode(".jpg", img)
+            w.append_record(buf.tobytes(), rows)
+    ds = DetectionDataset(RecordReader(d), phase="train")
+    paths = dump_pipeline_samples(ds, [0, 1, 2, 3], str(tmp_path / "prev"),
+                                  class_names=["bg", "a", "b"],
+                                  mosaic_group=2)
+    assert len(paths) == 2
+    assert all(os.path.getsize(p) > 0 for p in paths)
