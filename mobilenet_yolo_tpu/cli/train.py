@@ -56,6 +56,16 @@ def get_params(argv=None):
                              " frees ~7 ms/img of host time on slow hosts."
                              " Note: jitter op order is fixed on device"
                              " (host shuffles it per image)")
+    parser.add_argument("--device-geometry", action="store_true",
+                        help="run the WHOLE augmentation pipeline on device:"
+                             " expand/crop/flip/mosaic composition + color"
+                             " jitter + normalization inside the jitted step"
+                             " (data/geometry.py, ops/device_augment.py)."
+                             " The host only decodes + stages each source"
+                             " (~5x host pipeline speedup on slow hosts)."
+                             " Detection-only (no seg branch)")
+    parser.add_argument("--stage-size", default=448, type=int,
+                        help="staging square for --device-geometry sources")
     # smoke-mode extras
     parser.add_argument("--synthetic", action="store_true",
                         help="train on synthetic data (no dataset needed)")
@@ -119,10 +129,13 @@ def main(args):
     )
     device_normalize = not args.synthetic and not args.host_normalize
     device_pixel_aug = args.device_pixel_aug and device_normalize
+    device_geometry = (args.device_geometry and not args.synthetic
+                       and not segmentation)
     trainer = Trainer(model, model_cfg, classes_name, tcfg,
                       segmentation=segmentation, report=make_report_hook(),
                       device_normalize=device_normalize,
-                      device_pixel_aug=device_pixel_aug)
+                      device_pixel_aug=device_pixel_aug,
+                      device_geometry=device_geometry)
 
     if args.init_from:
         from mobilenet_yolo_tpu.tools_io import load_params_npz
@@ -169,8 +182,10 @@ def main(args):
             RecordReader(data_cfg["trainval_dataset_path"]["lmdb"]),
             phase="train", expand_scale=model_cfg["expand_scale"],
             has_seg=segmentation, seg_num_classes=seg_nc,
-            apply_noise=not device_pixel_aug,
-            apply_photometric=not device_pixel_aug)
+            # device_geometry keeps the host noise trio (on the staged
+            # copy) but always jitters on device
+            apply_noise=device_geometry or not device_pixel_aug,
+            apply_photometric=not (device_pixel_aug or device_geometry))
         # eval records carry seg maps too when segmentation is on, so the
         # evaluator can report seg mIoU alongside detection mAP
         test_ds = DetectionDataset(
@@ -184,7 +199,9 @@ def main(args):
         train_loader_obj = Loader(train_ds, bs, model_cfg["train_img_size"],
                                   norm["mean"], norm["std"],
                                   mosaic_num=model_cfg["mosaic_num"],
-                                  output_uint8=device_normalize)
+                                  output_uint8=device_normalize,
+                                  device_geometry=device_geometry,
+                                  stage_size=args.stage_size)
         eval_loader_obj = Loader(test_ds, bs,
                                  [[model_cfg["img_w"], model_cfg["img_h"]]],
                                  norm["mean"], norm["std"], shuffle=False,

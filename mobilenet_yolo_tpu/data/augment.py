@@ -234,17 +234,30 @@ def pixel_noise(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 
 # ----------------------------------------------------------- geometric ops
+#
+# Every geometric op is split into a pixel-free parameter sampler + label
+# math (shared with the device-side path, data/geometry.py, which resamples
+# pixels on TPU) and a host pixel application. The samplers own ALL rng
+# draws, in the reference's order, so host and device modes see identical
+# geometry distributions by construction.
+
+def sample_expand(h: int, w: int, expand_scale: float,
+                  rng: np.random.Generator) -> tuple[int, int, int, int]:
+    """Expand-canvas parameters (reference :14-52): (new_h, new_w, top, left)."""
+    scale = rng.uniform(1.0, expand_scale)
+    new_h, new_w = int(scale * h), int(scale * w)
+    left = int(rng.integers(0, new_w - w + 1))
+    top = int(rng.integers(0, new_h - h + 1))
+    return new_h, new_w, top, left
+
 
 def expand(img: np.ndarray, boxes: np.ndarray, filler, expand_scale: float,
            rng: np.random.Generator, seg: np.ndarray | None = None):
     """Zoom-out onto a filler canvas (reference :14-52). filler in [0,1]."""
     h, w = img.shape[:2]
-    scale = rng.uniform(1.0, expand_scale)
-    new_h, new_w = int(scale * h), int(scale * w)
+    new_h, new_w, top, left = sample_expand(h, w, expand_scale, rng)
     canvas = np.empty((new_h, new_w, 3), img.dtype)
     canvas[:] = (np.asarray(filler, np.float32) * 255.0).astype(img.dtype)
-    left = int(rng.integers(0, new_w - w + 1))
-    top = int(rng.integers(0, new_h - h + 1))
     canvas[top:top + h, left:left + w] = img
     new_boxes = boxes + np.asarray([left, top, left, top], np.float32)
     new_seg = None
@@ -254,15 +267,17 @@ def expand(img: np.ndarray, boxes: np.ndarray, filler, expand_scale: float,
     return canvas, new_boxes, new_seg
 
 
-def random_crop(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
-                difficulties: np.ndarray, rng: np.random.Generator,
-                seg: np.ndarray | None = None):
-    """Min-overlap retry crop with center-keep filtering (reference :54-145)."""
-    h, w = img.shape[:2]
+def sample_crop(h: int, w: int, boxes: np.ndarray,
+                rng: np.random.Generator):
+    """Min-overlap retry crop sampler (reference :54-145), pixel-free.
+
+    Returns ``(crop, keep)``: ``crop`` is an int [left, top, right, bottom]
+    window or None for the no-crop branch; ``keep`` is the center-keep box
+    mask (None when there are no boxes)."""
     while True:
         min_overlap = rng.choice([0.0, 0.1, 0.2, 0.3, 0.4, 0.5, None])
         if min_overlap is None:
-            return img, boxes, labels, difficulties, seg
+            return None, None
         for _ in range(50):
             min_scale = 0.5
             scale_h = rng.uniform(min_scale, 1.0)
@@ -289,31 +304,57 @@ def random_crop(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
                 if overlap.max() < min_overlap:
                     continue
 
-            new_img = img[top:bottom, left:right]
-            new_seg = seg[top:bottom, left:right] if seg is not None else None
             if boxes.shape[0] > 0:
                 centers = (boxes[:, :2] + boxes[:, 2:]) / 2.0
                 keep = ((centers[:, 0] > left) & (centers[:, 0] < right)
                         & (centers[:, 1] > top) & (centers[:, 1] < bottom))
                 if not keep.any():
                     continue
-                nb = boxes[keep].copy()
-                nb[:, :2] = np.maximum(nb[:, :2], crop[:2]) - crop[:2]
-                nb[:, 2:] = np.minimum(nb[:, 2:], crop[2:]) - crop[:2]
-                return new_img, nb, labels[keep], difficulties[keep], new_seg
-            return new_img, boxes, labels, difficulties, new_seg
+                return (left, top, right, bottom), keep
+            return (left, top, right, bottom), None
+
+
+def crop_boxes(boxes: np.ndarray, crop, keep):
+    """Clip kept boxes into crop-window pixel coordinates (reference :132-141)."""
+    left, top, right, bottom = crop
+    corners = np.asarray([left, top, right, bottom], np.float32)
+    nb = boxes[keep].copy() if keep is not None else boxes.copy()
+    nb[:, :2] = np.maximum(nb[:, :2], corners[:2]) - corners[:2]
+    nb[:, 2:] = np.minimum(nb[:, 2:], corners[2:]) - corners[:2]
+    return nb
+
+
+def random_crop(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
+                difficulties: np.ndarray, rng: np.random.Generator,
+                seg: np.ndarray | None = None):
+    """Min-overlap retry crop with center-keep filtering (reference :54-145)."""
+    h, w = img.shape[:2]
+    crop, keep = sample_crop(h, w, boxes, rng)
+    if crop is None:
+        return img, boxes, labels, difficulties, seg
+    left, top, right, bottom = crop
+    new_img = img[top:bottom, left:right]
+    new_seg = seg[top:bottom, left:right] if seg is not None else None
+    if boxes.shape[0] > 0:
+        nb = crop_boxes(boxes, crop, keep)
+        return new_img, nb, labels[keep], difficulties[keep], new_seg
+    return new_img, boxes, labels, difficulties, new_seg
+
+
+def flip_boxes(boxes: np.ndarray, w: int) -> np.ndarray:
+    """Horizontal-flip label math incl. the reference's "-1" pixel
+    convention (:147-166)."""
+    nb = boxes.copy()
+    nb[:, 0] = w - boxes[:, 0] - 1
+    nb[:, 2] = w - boxes[:, 2] - 1
+    return nb[:, [2, 1, 0, 3]]
 
 
 def hflip(img: np.ndarray, boxes: np.ndarray, seg: np.ndarray | None = None):
     """Horizontal flip with the reference's coordinate math (:147-166)."""
     new_img = img[:, ::-1].copy()
     new_seg = seg[:, ::-1].copy() if seg is not None else None
-    nb = boxes.copy()
-    w = img.shape[1]
-    nb[:, 0] = w - boxes[:, 0] - 1
-    nb[:, 2] = w - boxes[:, 2] - 1
-    nb = nb[:, [2, 1, 0, 3]]
-    return new_img, nb, new_seg
+    return new_img, flip_boxes(boxes, img.shape[1]), new_seg
 
 
 def transform_od(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,

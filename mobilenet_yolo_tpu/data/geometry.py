@@ -1,0 +1,234 @@
+"""Host-side geometry *planning* for device-side augmentation.
+
+The north-star mandate asks for training-time image transforms as
+device-side jitted ops. The split implemented here: the host samples every
+random **parameter** and does all **label** math (tiny — a few dozen boxes)
+with the exact distributions of the reference pipeline (utils/
+image_augmentation.py:14-166 expand/crop/flip, :199-278 mosaic,
+CustomBatchSampler.py group sizes), while all **pixel** work — expand/crop
+resampling, flip, mosaic composition, color jitter, normalization — runs on
+TPU (ops/device_augment.py:geometric_compose). The host touches pixels only
+to JPEG-decode and to resize each source once onto a fixed ``stage_size``
+square staging canvas.
+
+Parameter/label parity with the host pixel path is by construction: the
+samplers (augment.sample_expand / sample_crop / flip_boxes,
+mosaic.plan_mosaic_placement / remap_mosaic_labels) are the SAME functions
+the host path calls, invoked in the same order, so identical rng streams
+produce identical geometry and identical labels (tested in
+tests/test_device_geometry.py).
+
+Documented fidelity deltas vs the host path (pixels only, never labels):
+* sources are resampled from the ``stage_size`` staging copy instead of the
+  native image — a slight extra blur for natives much larger than the
+  staging canvas (VOC natives are ~500x375, staging default 448: ~none);
+* pixel noise (blur/median/sharpen/noise, data/augment.py:pixel_noise) is
+  applied to the staged copy, so kernel radii are relative to the staged
+  resolution;
+* tile edges are bilinear-resampled (edge-clamped) rather than hard
+  integer slices — a sub-pixel boundary difference.
+
+Each planned output image is described by up to 4 tiles. A tile is:
+``slot`` (index into the group's staged sources), ``src_rect`` (normalized
+window in the — possibly flipped — source), ``dst_rect`` (normalized
+placement in the output canvas), ``fill_rect`` + fill color (painted before
+the paste), ``flip``. Rect coordinates are [x1, y1, x2, y2] in [0, 1].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from mobilenet_yolo_tpu.data import augment
+from mobilenet_yolo_tpu.data.mosaic import (plan_mosaic_placement,
+                                            remap_mosaic_labels)
+
+MAX_TILES = 4
+
+
+def _mirror_x(rect: np.ndarray) -> np.ndarray:
+    return np.asarray([1.0 - rect[2], rect[1], 1.0 - rect[0], rect[3]],
+                      np.float32)
+
+
+@dataclass
+class GroupPlan:
+    """Device-compose parameters for one output image (fixed MAX_TILES)."""
+    slots: np.ndarray        # (MAX_TILES, S, S, 3) uint8 staged sources
+    src_rect: np.ndarray     # (MAX_TILES, 4) f32
+    dst_rect: np.ndarray     # (MAX_TILES, 4) f32
+    fill_rect: np.ndarray    # (MAX_TILES, 4) f32
+    fill_color: np.ndarray   # (MAX_TILES, 3) f32 raw [0,255]
+    fill_from_mean: np.ndarray  # (MAX_TILES,) bool: device uses src-region mean
+    flip: np.ndarray         # (MAX_TILES,) bool
+    active: np.ndarray       # (MAX_TILES,) bool
+    labels: np.ndarray       # (n, 6) normalized (cls, cx, cy, w, h, difficult)
+
+
+def plan_source_geometry(h: int, w: int, boxes: np.ndarray, cls: np.ndarray,
+                         diff: np.ndarray, rng: np.random.Generator,
+                         expand_scale: float, allow_expand: bool):
+    """Sample expand(p=.5) -> crop -> flip(p=.5) for one source — the
+    transform_od chain (reference :279-334) without pixels.
+
+    Returns ``(src_rect, dst_rect, flip, (crop_w, crop_h), rows)`` where
+    rects are normalized (mirrored into flipped coordinates when flip) and
+    ``rows`` are the surviving (cls, cx, cy, bw, bh, difficult) labels
+    normalized to the cropped output."""
+    # expand gate: rng.random() is drawn regardless of allow_expand, like
+    # the host path's short-circuit `rng.random() < 0.5 and allow_expand`
+    do_expand = rng.random() < 0.5 and allow_expand
+    if do_expand:
+        new_h, new_w, top, left = augment.sample_expand(h, w, expand_scale,
+                                                        rng)
+        boxes = boxes + np.asarray([left, top, left, top], np.float32)
+    else:
+        new_h, new_w, top, left = h, w, 0, 0
+
+    crop, keep = augment.sample_crop(new_h, new_w, boxes, rng)
+    if crop is None:
+        crop = (0, 0, new_w, new_h)
+        nb = boxes.copy()
+        kcls, kdiff = cls, diff
+    else:
+        nb = augment.crop_boxes(boxes, crop, keep)
+        kcls = cls[keep] if keep is not None else cls
+        kdiff = diff[keep] if keep is not None else diff
+    cl, ct, cr, cb = crop
+    cw, ch = cr - cl, cb - ct
+
+    flip = rng.random() < 0.5
+    if flip and nb.shape[0]:
+        nb = augment.flip_boxes(nb, cw)
+
+    # visible part of the source inside the crop window (canvas coords)
+    vx1, vy1 = max(cl, left), max(ct, top)
+    vx2, vy2 = min(cr, left + w), min(cb, top + h)
+    src = np.asarray([(vx1 - left) / w, (vy1 - top) / h,
+                      (vx2 - left) / w, (vy2 - top) / h], np.float32)
+    dst = np.asarray([(vx1 - cl) / cw, (vy1 - ct) / ch,
+                      (vx2 - cl) / cw, (vy2 - ct) / ch], np.float32)
+    if flip:
+        src = _mirror_x(src)
+        dst = _mirror_x(dst)
+
+    if nb.shape[0]:
+        bw = (nb[:, 2] - nb[:, 0]) / cw
+        bh = (nb[:, 3] - nb[:, 1]) / ch
+        cx = nb[:, 0] / cw + bw / 2
+        cy = nb[:, 1] / ch + bh / 2
+        rows = np.stack([kcls, cx, cy, bw, bh, kdiff], -1).astype(np.float32)
+    else:
+        rows = np.zeros((0, 6), np.float32)
+    return src, dst, bool(flip), (cw, ch), rows
+
+
+class GeometryPlanner:
+    """Plans device-compose batches from decoded records."""
+
+    def __init__(self, stage_size: int = 448, expand_scale: float = 1.5,
+                 mean=(0.5, 0.5, 0.5), apply_noise: bool = True,
+                 mosaic_canvas=(1000, 1000)):
+        self.stage_size = int(stage_size)
+        self.expand_scale = float(expand_scale)
+        self.mean = np.asarray(mean, np.float32)
+        self.apply_noise = apply_noise
+        self.mosaic_canvas = tuple(mosaic_canvas)
+
+    def _stage(self, img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        """One host resize to the staging square (+ staged pixel noise)."""
+        import cv2
+        s = self.stage_size
+        staged = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
+        if self.apply_noise:
+            staged = augment.pixel_noise(staged, rng)
+        return staged
+
+    def _empty(self) -> GroupPlan:
+        s = self.stage_size
+        t = MAX_TILES
+        return GroupPlan(
+            slots=np.zeros((t, s, s, 3), np.uint8),
+            src_rect=np.tile(np.asarray([0, 0, 1, 1], np.float32), (t, 1)),
+            dst_rect=np.tile(np.asarray([0, 0, 1, 1], np.float32), (t, 1)),
+            fill_rect=np.zeros((t, 4), np.float32),
+            fill_color=np.zeros((t, 3), np.float32),
+            fill_from_mean=np.zeros((t,), bool),
+            flip=np.zeros((t,), bool),
+            active=np.zeros((t,), bool),
+            labels=np.zeros((0, 6), np.float32),
+        )
+
+    def plan_group(self, sources, rng: np.random.Generator) -> GroupPlan:
+        """``sources``: list of ≤4 decoded records ``(image_u8, boxes_px,
+        cls, difficult)`` with boxes as pixel corners in the native image.
+        Group of 1 -> expand/crop/flip single; group of N -> per-source
+        crop/flip + mosaic placement (folder2lmdb.py:155-177 semantics:
+        expand only for singles)."""
+        assert 1 <= len(sources) <= MAX_TILES
+        plan = self._empty()
+        if len(sources) == 1:
+            img, boxes, cls, diff = sources[0]
+            h, w = img.shape[:2]
+            # draw order matches DetectionDataset.get_single: noise first
+            plan.slots[0] = self._stage(img, rng)
+            src, dst, flip, _, rows = plan_source_geometry(
+                h, w, boxes, cls, diff, rng, self.expand_scale,
+                allow_expand=True)
+            plan.src_rect[0] = src
+            plan.dst_rect[0] = dst
+            plan.fill_rect[0] = np.asarray([0, 0, 1, 1], np.float32)
+            plan.fill_color[0] = self.mean * 255.0
+            plan.flip[0] = flip
+            plan.active[0] = True
+            plan.labels = rows
+            return plan
+
+        per_source = []
+        shapes = []
+        for k, (img, boxes, cls, diff) in enumerate(sources):
+            h, w = img.shape[:2]
+            plan.slots[k] = self._stage(img, rng)
+            src, dst, flip, (cw, ch), rows = plan_source_geometry(
+                h, w, boxes, cls, diff, rng, self.expand_scale,
+                allow_expand=False)
+            per_source.append((src, flip, rows))
+            shapes.append((ch, cw))
+
+        W, H = self.mosaic_canvas
+        placements = plan_mosaic_placement(shapes, self.mosaic_canvas, rng)
+        all_rows = [np.zeros((0, 6), np.float32)]
+        for k, ((src, flip, rows), placement) in enumerate(
+                zip(per_source, placements)):
+            tile, offset_x, offset_y, width, height = placement
+            x1 = tile[0] + offset_x
+            y1 = tile[1] + offset_y
+            x2 = min(tile[2], x1 + width)
+            y2 = min(tile[3], y1 + height)
+            # the paste never truncates (offsets are bounded by the ar
+            # clamp), so the tile shows the whole cropped source; fx/fy
+            # guard the general case anyway
+            fx = (x2 - x1) / width
+            fy = (y2 - y1) / height
+            sw, sh = src[2] - src[0], src[3] - src[1]
+            plan.src_rect[k] = np.asarray(
+                [src[0], src[1], src[0] + fx * sw, src[1] + fy * sh],
+                np.float32)
+            plan.dst_rect[k] = np.asarray(
+                [x1 / W, y1 / H, x2 / W, y2 / H], np.float32)
+            plan.fill_rect[k] = np.asarray(
+                [tile[0] / W, tile[1] / H, tile[2] / W, tile[3] / H],
+                np.float32)
+            # reference fills the tile with the mean of the (jittered)
+            # resized source (:268): the device computes it from the
+            # jittered slot's src region
+            plan.fill_from_mean[k] = True
+            plan.flip[k] = flip
+            plan.active[k] = True
+            if rows.shape[0]:
+                all_rows.append(remap_mosaic_labels(rows, placement,
+                                                    self.mosaic_canvas))
+        plan.labels = np.concatenate(all_rows, 0)
+        return plan

@@ -34,24 +34,21 @@ def generate_mosaic_mask(num: int, size, rng: np.random.Generator):
     return mask
 
 
-def mosaic(group, size, rng: np.random.Generator):
-    """Compose N (image uint8 HWC, labels (n,5) normalized cxcywh) pairs
-    into one ``size`` mosaic (reference :216-278). Returns (image, labels).
-    """
-    W, H = size
-    background = np.zeros((H, W, 3), np.float32)
-    num = len(group)
-    mask = generate_mosaic_mask(num, size, rng)
-    # column-agnostic: rows may carry extra per-box fields (e.g. the
-    # difficult flag) after the (cls, cx, cy, w, h) prefix
-    ncols = max((lab.shape[1] for _, lab in group if lab.ndim == 2), default=5)
-    all_labels = [np.zeros((0, ncols), np.float32)]
+def plan_mosaic_placement(shapes, size, rng: np.random.Generator):
+    """Pixel-free placement plan for an N-tile mosaic (reference :216-278).
 
-    for counter, (img, labels) in enumerate(group):
+    ``shapes``: [(h, w), ...] of the source images. Returns, per source,
+    ``(tile, offset_x, offset_y, width, height)`` — the tile rect it was
+    assigned, the aspect-ratio-clamped paste size and its random offset
+    inside the tile. Owns every rng draw of the compositor, in reference
+    order, so the host pixel path and the device resample path
+    (data/geometry.py) sample identical layouts."""
+    mask = generate_mosaic_mask(len(shapes), size, rng)
+    plan = []
+    for counter, (ih, iw) in enumerate(shapes):
         tile = mask[counter]
         width = tile[2] - tile[0]
         height = tile[3] - tile[1]
-        ih, iw = img.shape[:2]
         ar_src = ih / iw
         min_ratio, max_ratio = ar_src * 0.5, ar_src * 2
         ar_tar = height / width
@@ -63,7 +60,42 @@ def mosaic(group, size, rng: np.random.Generator):
         if ar_tar > max_ratio:
             offset_y = int(rng.integers(0, int(height - width * max_ratio) + 1))
             height = int(width * max_ratio)
+        plan.append((tile, offset_x, offset_y, width, height))
+    return plan
 
+
+def remap_mosaic_labels(labels: np.ndarray, placement, size) -> np.ndarray:
+    """Scale one source's normalized (cls, cx, cy, w, h[, ...]) rows into
+    mosaic coordinates (reference :269-276)."""
+    W, H = size
+    tile, offset_x, offset_y, width, height = placement
+    lab = labels.copy()
+    box = lab[:, 1:5]
+    w_scale = W / width
+    h_scale = H / height
+    box[:, 0] /= w_scale
+    box[:, 2] /= w_scale
+    box[:, 1] /= h_scale
+    box[:, 3] /= h_scale
+    box[:, 0] += (tile[0] + offset_x) / W
+    box[:, 1] += (tile[1] + offset_y) / H
+    return lab
+
+
+def mosaic(group, size, rng: np.random.Generator):
+    """Compose N (image uint8 HWC, labels (n,5) normalized cxcywh) pairs
+    into one ``size`` mosaic (reference :216-278). Returns (image, labels).
+    """
+    W, H = size
+    background = np.zeros((H, W, 3), np.float32)
+    plan = plan_mosaic_placement([img.shape[:2] for img, _ in group], size, rng)
+    # column-agnostic: rows may carry extra per-box fields (e.g. the
+    # difficult flag) after the (cls, cx, cy, w, h) prefix
+    ncols = max((lab.shape[1] for _, lab in group if lab.ndim == 2), default=5)
+    all_labels = [np.zeros((0, ncols), np.float32)]
+
+    for (img, labels), placement in zip(group, plan):
+        tile, offset_x, offset_y, width, height = placement
         resized = _resize(img, (width, height)).astype(np.float32)
         mean = resized.reshape(-1, 3).mean(0)
         x1 = tile[0] + offset_x
@@ -74,17 +106,7 @@ def mosaic(group, size, rng: np.random.Generator):
         background[y1:y2, x1:x2] = resized[: y2 - y1, : x2 - x1]
 
         if labels.shape[0]:
-            lab = labels.copy()
-            box = lab[:, 1:5]
-            w_scale = W / width
-            h_scale = H / height
-            box[:, 0] /= w_scale
-            box[:, 2] /= w_scale
-            box[:, 1] /= h_scale
-            box[:, 3] /= h_scale
-            box[:, 0] += (tile[0] + offset_x) / W
-            box[:, 1] += (tile[1] + offset_y) / H
-            all_labels.append(lab)
+            all_labels.append(remap_mosaic_labels(labels, placement, size))
 
     return background.astype(np.uint8), np.concatenate(all_labels, 0)
 

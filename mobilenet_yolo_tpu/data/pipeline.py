@@ -84,10 +84,9 @@ class DetectionDataset:
     def __len__(self):
         return len(self.reader)
 
-    def get_single(self, index: int, rng: np.random.Generator,
-                   allow_expand: bool = True):
-        """Returns (image uint8 HWC RGB, labels (n,6) normalized
-        (cls,cx,cy,w,h,difficult), seg class-id map or None)."""
+    def decode_source(self, index: int):
+        """Decode one record: (image uint8 HWC RGB, boxes px corners (n,4),
+        cls (n,), difficulties (n,), seg id-map or None). No augmentation."""
         rec = self.reader[index]
         img = _decode_jpeg(rec.image_bytes)
         seg = _decode_seg(rec.seg_bytes) if (self.has_seg and rec.seg_bytes) else None
@@ -103,6 +102,13 @@ class DetectionDataset:
         cls = labels[:, 0] if labels.shape[0] else np.zeros((0,), np.float32)
         difficulties = (labels[:, 5] if labels.shape[0]
                         else np.zeros((0,), np.float32))
+        return img, boxes.astype(np.float32), cls, difficulties, seg
+
+    def get_single(self, index: int, rng: np.random.Generator,
+                   allow_expand: bool = True):
+        """Returns (image uint8 HWC RGB, labels (n,6) normalized
+        (cls,cx,cy,w,h,difficult), seg class-id map or None)."""
+        img, boxes, cls, difficulties, seg = self.decode_source(index)
 
         if self.phase == "train" and self.apply_noise:
             img = augment.pixel_noise(img, rng)
@@ -147,7 +153,8 @@ class Loader:
                  max_gt: int = 90, shuffle: bool = True, seed: int = 0,
                  drop_last: bool = False, prefetch: int = 2,
                  pad_final: bool = True, shard_by_process: bool | None = None,
-                 output_uint8: bool = False):
+                 output_uint8: bool = False, device_geometry: bool = False,
+                 stage_size: int = 448):
         # pad_final keeps every batch at exactly batch_size samples by
         # wrapping indices on the final partial batch — XLA compiles one
         # program per (batch, H, W) shape, so ragged tail batches are a
@@ -177,6 +184,23 @@ class Loader:
         # per image (the single biggest collate cost on a 1-core host) and
         # 4x of the host->device transfer.
         self.output_uint8 = output_uint8
+        # device_geometry: the host only decodes and stages each source on a
+        # fixed square; ALL pixel augmentation (expand/crop/flip/mosaic
+        # composition, color jitter, normalization) runs inside the jitted
+        # train step (data/geometry.py + ops/device_augment.py). Batches
+        # then carry staged source slots + compose parameters instead of
+        # composed images; pair with train/step.py:make_geometry_train_step.
+        self.device_geometry = device_geometry
+        if device_geometry:
+            assert dataset.phase == "train", \
+                "device_geometry is a train-time path (test is identity)"
+            assert not dataset.has_seg, \
+                "device_geometry does not rasterize segmentation yet; " \
+                "use the host pipeline for seg datasets"
+            from mobilenet_yolo_tpu.data.geometry import GeometryPlanner
+            self.planner = GeometryPlanner(
+                stage_size=stage_size, expand_scale=dataset.expand_scale,
+                mean=mean, apply_noise=dataset.apply_noise)
         # fused host normalization: x*scale + bias == ((x/255) - mean)/std
         self._scale = (1.0 / (255.0 * self.std)).astype(np.float32)
         self._bias = (-self.mean / self.std).astype(np.float32)
@@ -269,6 +293,34 @@ class Loader:
             batch["seg_maps"] = seg_maps
         return batch
 
+    def _collate_geometry(self, plans, size_idx: int) -> dict:
+        """Stack GroupPlans into fixed-shape compose-parameter arrays."""
+        w, h = self.transform_size[size_idx]
+        batch = {
+            "slots": np.stack([p.slots for p in plans]),
+            "src_rect": np.stack([p.src_rect for p in plans]),
+            "dst_rect": np.stack([p.dst_rect for p in plans]),
+            "fill_rect": np.stack([p.fill_rect for p in plans]),
+            "fill_color": np.stack([p.fill_color for p in plans]),
+            "fill_from_mean": np.stack([p.fill_from_mean for p in plans]),
+            "flip": np.stack([p.flip for p in plans]),
+            "active": np.stack([p.active for p in plans]),
+            "out_size": (h, w),
+        }
+        gt = np.zeros((len(plans), self.max_gt, 5), np.float32)
+        gt_difficult = np.zeros((len(plans), self.max_gt), np.float32)
+        n_gt = np.zeros((len(plans),), np.int32)
+        count = 0
+        for i, p in enumerate(plans):
+            n = min(p.labels.shape[0], self.max_gt)
+            gt[i, :n] = p.labels[:n, :5]
+            gt_difficult[i, :n] = p.labels[:n, 5]
+            n_gt[i] = n
+            count += int(p.active.sum())
+        batch.update(gt=gt, gt_difficult=gt_difficult, n_gt=n_gt,
+                     count=count)
+        return batch
+
     def _sharded_plan(self) -> tuple[list, int]:
         """This host's slice of the epoch plan; returns (plan, process_idx).
 
@@ -297,8 +349,14 @@ class Loader:
             # or earlier batches consumed
             b_rng = np.random.default_rng(
                 (self.seed, self.epoch, p_idx, batch_idx))
-            samples = [self.ds.get_group(g, b_rng) for g in batch_groups]
-            yield self._collate(samples, size_idx)
+            if self.device_geometry:
+                plans = [self.planner.plan_group(
+                    [self.ds.decode_source(i)[:4] for i in g], b_rng)
+                    for g in batch_groups]
+                yield self._collate_geometry(plans, size_idx)
+            else:
+                samples = [self.ds.get_group(g, b_rng) for g in batch_groups]
+                yield self._collate(samples, size_idx)
 
     def __iter__(self) -> Iterator[dict]:
         self.epoch += 1

@@ -129,3 +129,108 @@ def device_pixel_aug(images: jax.Array, key: jax.Array) -> jax.Array:
     normalize step)."""
     k1, k2 = jax.random.split(key)
     return additive_noise(color_jitter(images, k1), k2)
+
+
+# ------------------------------------------------- geometric composition --
+#
+# Device half of the geometry-on-device augmentation path (host half:
+# data/geometry.py). Each output image is built from <=4 tiles, each an
+# affine resample of a staged source: this covers expand (dst smaller than
+# the canvas, mean fill around it), random crop (src window), horizontal
+# flip (pixel reverse; rects arrive pre-mirrored) and mosaic composition
+# (4 tiles + per-tile mean fill) — the whole geometric pipeline of
+# reference utils/image_augmentation.py:14-166,199-278 as ONE jitted pass.
+#
+# Resampling is bilinear with edge clamp via per-dimension weight matrices
+# (two matmuls per tile — MXU work, exactly cv2.INTER_LINEAR semantics;
+# jax.image.scale_and_translate is NOT used because it zero-fills samples
+# that straddle the source border, leaving dark fringes at tile edges).
+
+
+def _axis_weights(out_size: int, in_size: int, src0, src1, dst0, dst1):
+    """(out_size, in_size) bilinear weight matrix mapping the source span
+    [src0, src1) (continuous pixels) onto the output span [dst0, dst1).
+
+    Output pixels outside the destination span get garbage rows (they are
+    masked away by the caller); inside, sample positions are edge-clamped
+    like cv2. All span endpoints may be traced scalars."""
+    denom = jnp.maximum(dst1 - dst0, 1e-6)
+    o = jnp.arange(out_size, dtype=jnp.float32)
+    u = src0 + (o + 0.5 - dst0) * (src1 - src0) / denom  # continuous coord
+    u = jnp.clip(u - 0.5, 0.0, in_size - 1.0)            # index coord
+    i0 = jnp.floor(u)
+    frac = u - i0
+    i0 = i0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    idx = jnp.arange(in_size, dtype=jnp.int32)
+    w = ((idx[None, :] == i0[:, None]) * (1.0 - frac)[:, None]
+         + (idx[None, :] == i1[:, None]) * frac[:, None])
+    return w
+
+
+def _rect_mask(rect, out_h: int, out_w: int):
+    """Boolean (out_h, out_w) mask of a normalized [x1,y1,x2,y2] rect,
+    pixel centers against edges — matches the host path's integer slices
+    for integer-aligned rects."""
+    yy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
+    xx = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
+    return ((yy[:, None] >= rect[1]) & (yy[:, None] < rect[3])
+            & (xx[None, :] >= rect[0]) & (xx[None, :] < rect[2]))
+
+
+def _compose_one(slots, src_rect, dst_rect, fill_rect, fill_color,
+                 fill_from_mean, flip, active, out_h: int, out_w: int):
+    """Compose one output image (out_h, out_w, 3) f32 from its tiles."""
+    s_h, s_w = slots.shape[1], slots.shape[2]
+    out = jnp.zeros((out_h, out_w, 3), jnp.float32)
+    for k in range(slots.shape[0]):
+        img = slots[k].astype(jnp.float32)
+        img = jnp.where(flip[k], img[:, ::-1], img)
+        sr, dr = src_rect[k], dst_rect[k]
+        # per-tile mean fill (mosaic): mean of the source window of the
+        # (jittered, flipped) slot — reference :268 uses the resized
+        # source's mean, which bilinear resampling preserves
+        smask = _rect_mask(sr, s_h, s_w)[..., None]
+        cnt = jnp.maximum(smask.sum(), 1.0)
+        src_mean = (img * smask).sum(axis=(0, 1)) / cnt
+        fcol = jnp.where(fill_from_mean[k], src_mean, fill_color[k])
+        fmask = _rect_mask(fill_rect[k], out_h, out_w) & active[k]
+        out = jnp.where(fmask[..., None], fcol, out)
+        # paste: bilinear resample of the source window into the dst rect
+        wy = _axis_weights(out_h, s_h, sr[1] * s_h, sr[3] * s_h,
+                           dr[1] * out_h, dr[3] * out_h)
+        wx = _axis_weights(out_w, s_w, sr[0] * s_w, sr[2] * s_w,
+                           dr[0] * out_w, dr[2] * out_w)
+        res = jnp.einsum("oi,ijc->ojc", wy, img)
+        res = jnp.einsum("pj,ojc->opc", wx, res)
+        pmask = _rect_mask(dr, out_h, out_w) & active[k]
+        out = jnp.where(pmask[..., None], res, out)
+    return out
+
+
+def geometric_compose(slots, src_rect, dst_rect, fill_rect, fill_color,
+                      fill_from_mean, flip, active, out_hw,
+                      jitter_key=None) -> jax.Array:
+    """Batched device-side geometric augmentation.
+
+    slots (B, 4, S, S, 3) uint8 staged sources; rects (B, 4, 4) f32
+    normalized; fill_color (B, 4, 3) raw [0,255]; fill_from_mean / flip /
+    active (B, 4) bool; out_hw static (H, W).
+
+    With ``jitter_key``, photometric color jitter runs per SOURCE before
+    composition (the reference jitters each mosaic source independently,
+    transform_od :279-334 applied per image in folder2lmdb.py:131-135).
+    Returns (B, H, W, 3) float32 in [0, 255].
+    """
+    b, t = slots.shape[0], slots.shape[1]
+    if jitter_key is not None:
+        s = slots.shape[2:]
+        flat = slots.reshape((b * t,) + s)
+        flat = color_jitter(flat, jitter_key)
+        slots = flat.reshape((b, t) + s)
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    return jax.vmap(
+        lambda *a: _compose_one(*a, out_h, out_w)
+    )(slots, src_rect, dst_rect, fill_rect, fill_color, fill_from_mean,
+      flip, active)
+

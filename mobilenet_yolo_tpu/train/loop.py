@@ -25,7 +25,9 @@ from mobilenet_yolo_tpu.train.checkpoints import CheckpointManager
 from mobilenet_yolo_tpu.train.hpo import NoOpReport, ReportHook
 from mobilenet_yolo_tpu.train.schedule import learning_rate_for_epoch
 from mobilenet_yolo_tpu.train.state import create_train_state
-from mobilenet_yolo_tpu.train.step import make_train_step
+from mobilenet_yolo_tpu.train.step import (GEOMETRY_BATCH_KEYS,
+                                           make_geometry_train_step,
+                                           make_train_step)
 from mobilenet_yolo_tpu.utils.logger import Logger
 from mobilenet_yolo_tpu.utils.meters import MeterDict
 
@@ -81,7 +83,8 @@ class Trainer:
                  cfg: TrainerConfig, segmentation: bool = False, mesh=None,
                  report: ReportHook | None = None, verbose: bool = True,
                  device_normalize: bool = False,
-                 device_pixel_aug: bool = False):
+                 device_pixel_aug: bool = False,
+                 device_geometry: bool = False):
         # device_normalize: loaders emit raw [0,255] uint8 batches
         # (Loader(output_uint8=True)) and the jitted step/predict apply the
         # config's mean/std on device — less host work and 4x less
@@ -103,10 +106,19 @@ class Trainer:
             model, jax.random.PRNGKey(0), img_size,
             learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay)
         self.device_pixel_aug = device_pixel_aug
-        self.train_step = make_train_step(model, model_cfg, self.tx,
-                                          segmentation=segmentation, mesh=mesh,
-                                          normalize=device_normalize,
-                                          pixel_aug=device_pixel_aug)
+        # device_geometry: batches arrive as staged sources + compose
+        # parameters (Loader(device_geometry=True)); the step runs the whole
+        # augmentation pipeline on device (make_geometry_train_step)
+        self.device_geometry = device_geometry
+        if device_geometry:
+            assert not segmentation, "device_geometry has no seg path yet"
+            self.train_step = make_geometry_train_step(model, model_cfg,
+                                                       self.tx, mesh=mesh)
+        else:
+            self.train_step = make_train_step(
+                model, model_cfg, self.tx, segmentation=segmentation,
+                mesh=mesh, normalize=device_normalize,
+                pixel_aug=device_pixel_aug)
         self._aug_key = jax.random.PRNGKey(17)
         self.predict = make_predict_fn(model, model_cfg, top_k=cfg.nms_top_k,
                                        normalize=device_normalize)
@@ -137,19 +149,32 @@ class Trainer:
         meters = MeterDict()
         start = time.time()
         for i, batch in enumerate(loader):
-            args = (jnp.asarray(batch["images"]), jnp.asarray(batch["gt"]),
-                    jnp.asarray(batch["n_gt"]))
-            seg = (jnp.asarray(batch["seg_maps"]),) if self.segmentation else ()
-            if self.mesh is not None:
-                args = shard_batch(self.mesh, args)
-                seg = shard_batch(self.mesh, seg)
-            key = ()
-            if self.device_pixel_aug:
-                key = (jax.random.fold_in(self._aug_key,
-                                          epoch * 100003 + i),)
-            self.state, metrics = self.train_step(self.state, *args, *seg,
-                                                  *key)
-            bs = batch["images"].shape[0]
+            if self.device_geometry:
+                args = tuple(jnp.asarray(batch[k])
+                             for k in GEOMETRY_BATCH_KEYS)
+                args += (jnp.asarray(batch["gt"]),
+                         jnp.asarray(batch["n_gt"]))
+                if self.mesh is not None:
+                    args = shard_batch(self.mesh, args)
+                key = jax.random.fold_in(self._aug_key, epoch * 100003 + i)
+                self.state, metrics = self.train_step(
+                    self.state, *args, key, out_hw=batch["out_size"])
+            else:
+                args = (jnp.asarray(batch["images"]),
+                        jnp.asarray(batch["gt"]),
+                        jnp.asarray(batch["n_gt"]))
+                seg = (jnp.asarray(batch["seg_maps"]),) \
+                    if self.segmentation else ()
+                if self.mesh is not None:
+                    args = shard_batch(self.mesh, args)
+                    seg = shard_batch(self.mesh, seg)
+                key = ()
+                if self.device_pixel_aug:
+                    key = (jax.random.fold_in(self._aug_key,
+                                              epoch * 100003 + i),)
+                self.state, metrics = self.train_step(self.state, *args,
+                                                      *seg, *key)
+            bs = batch["gt"].shape[0]
             loss_val = float(metrics["loss"])
             if not np.isfinite(loss_val):
                 # NaN tripwire (reference yolo_loss.py:231-232)

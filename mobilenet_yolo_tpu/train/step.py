@@ -163,6 +163,62 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+GEOMETRY_BATCH_KEYS = ("slots", "src_rect", "dst_rect", "fill_rect",
+                       "fill_color", "fill_from_mean", "flip", "active")
+
+
+def make_geometry_train_step(model, config: dict,
+                             tx: optax.GradientTransformation,
+                             mesh=None) -> Callable:
+    """Train step with the WHOLE augmentation pipeline on device.
+
+    Returns ``step(state, *geom_arrays, gt, n_gt, aug_key, out_hw=(H, W))``
+    where ``geom_arrays`` are the 8 GEOMETRY_BATCH_KEYS arrays produced by
+    ``Loader(device_geometry=True)``. The step composes expand/crop/flip/
+    mosaic from the staged sources (ops/device_augment.py:
+    geometric_compose), color-jitters each source, normalizes, then runs
+    the usual forward/loss/backward/update — one XLA program per output
+    size bucket (``out_hw`` selects it; multiscale = a handful of caches,
+    exactly like the shape-bucketed plain step).
+    """
+    from mobilenet_yolo_tpu.ops.device_augment import geometric_compose
+
+    loss_fn = make_loss_fn(model, config, segmentation=False, normalize=True)
+
+    def build(out_hw):
+        def step(state, slots, src_rect, dst_rect, fill_rect, fill_color,
+                 fill_from_mean, flip, active, gt, n_gt, aug_key):
+            images = geometric_compose(
+                slots, src_rect, dst_rect, fill_rect, fill_color,
+                fill_from_mean, flip, active, out_hw, jitter_key=aug_key)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (new_stats, metrics)), grads = grad_fn(
+                state.params, state.batch_stats, images, gt, n_gt, None)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return state.replace(params=new_params, batch_stats=new_stats,
+                                 opt_state=new_opt), metrics
+
+        if mesh is not None:
+            repl = replicated(mesh)
+            data = batch_sharding(mesh)
+            in_sh = (repl,) + (data,) * 10 + (repl,)
+            return jax.jit(step, in_shardings=in_sh,
+                           out_shardings=(repl, repl), donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=(0,))
+
+    cache: dict = {}
+
+    def stepper(state, *args, out_hw):
+        out_hw = (int(out_hw[0]), int(out_hw[1]))
+        fn = cache.get(out_hw)
+        if fn is None:
+            fn = cache[out_hw] = build(out_hw)
+        return fn(state, *args)
+
+    return stepper
+
+
 def make_eval_step(model, config: dict, segmentation: bool = False,
                    mesh=None) -> Callable:
     """Loss/metric evaluation without parameter updates (running BN stats)."""
