@@ -64,8 +64,10 @@ def get_params(argv=None):
                              " The host only decodes + stages each source"
                              " (~5x host pipeline speedup on slow hosts)."
                              " Detection-only (no seg branch)")
-    parser.add_argument("--stage-size", default=448, type=int,
-                        help="staging square for --device-geometry sources")
+    parser.add_argument("--stage-size", default=0, type=int,
+                        help="staging square for --device-geometry sources;"
+                             " 0 (default) = adaptive: stage at each"
+                             " batch's output resolution")
     # smoke-mode extras
     parser.add_argument("--synthetic", action="store_true",
                         help="train on synthetic data (no dataset needed)")

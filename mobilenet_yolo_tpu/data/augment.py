@@ -202,12 +202,24 @@ def sharpen(img: np.ndarray, alpha: float, lightness: float) -> np.ndarray:
     return (1.0 - alpha) * x + alpha * effect
 
 
-def pixel_noise(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+def pixel_noise(img: np.ndarray, rng: np.random.Generator,
+                defer_noise: bool = False):
     """Sometimes(0.5, SomeOf((1,2), [OneOf(gaussian|median blur), sharpen,
     additive gaussian noise], random_order)) — reference folder2lmdb.py:29-42
-    with imgaug's sampled parameter distributions."""
+    with imgaug's sampled parameter distributions.
+
+    ``defer_noise=True`` (the device-geometry path) samples the pipeline
+    identically but does not APPLY the additive-noise op on host — drawing
+    ~600k gaussians per image is the single most expensive host op on a
+    slow core — and instead returns ``(img, (scale, per_channel) | None)``
+    so the jitted step can add the noise on device
+    (ops/device_augment.py:slot_noise). Note the op-order simplification:
+    deferred noise lands after any host blur/sharpen even when the shuffle
+    placed it first (noise commutes with neither, but both orders are in
+    the reference's random_order distribution anyway)."""
+    deferred = None
     if rng.random() >= 0.5:
-        return img
+        return (img, None) if defer_noise else img
     ops = ["blur", "sharpen", "noise"]
     rng.shuffle(ops)
     n = int(rng.integers(1, 3))
@@ -224,13 +236,18 @@ def pixel_noise(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
             out = np.clip(sharpen(out, alpha, light), 0, 255)
         else:
             scale = np.float32(rng.uniform(0.0, 0.03 * 255))
-            if rng.random() < 0.3:
+            per_channel = rng.random() < 0.3
+            if defer_noise:
+                deferred = (float(scale), bool(per_channel))
+                continue
+            if per_channel:
                 noise = rng.standard_normal(out.shape, np.float32) * scale
             else:
                 noise = (rng.standard_normal(out.shape[:2], np.float32)
                          * scale)[..., None]
             out = out + noise
-    return np.clip(out, 0, 255).astype(np.uint8)
+    out = np.clip(out, 0, 255).astype(np.uint8)
+    return (out, deferred) if defer_noise else out
 
 
 # ----------------------------------------------------------- geometric ops
@@ -274,44 +291,49 @@ def sample_crop(h: int, w: int, boxes: np.ndarray,
     Returns ``(crop, keep)``: ``crop`` is an int [left, top, right, bottom]
     window or None for the no-crop branch; ``keep`` is the center-keep box
     mask (None when there are no boxes)."""
+    # The reference runs up to 50 sequential trials per overlap choice
+    # (:66-145). The trials are i.i.d., so drawing all 50 up front and
+    # taking the FIRST valid one samples the identical distribution while
+    # replacing ~50 tiny numpy calls with a handful of (50,)-vectorized
+    # ones (~5x faster on a slow host; the crop sampler is on the hot path
+    # of every training image).
+    T = 50
     while True:
         min_overlap = rng.choice([0.0, 0.1, 0.2, 0.3, 0.4, 0.5, None])
         if min_overlap is None:
             return None, None
-        for _ in range(50):
-            min_scale = 0.5
-            scale_h = rng.uniform(min_scale, 1.0)
-            scale_w = rng.uniform(min_scale, 1.0)
-            new_h = int(scale_h * h)
-            new_w = int(scale_w * w)
-            aspect = new_h / new_w
-            if not 0.5 < aspect < 2:
-                continue
-            left = int(rng.integers(0, w - new_w + 1))
-            top = int(rng.integers(0, h - new_h + 1))
-            right, bottom = left + new_w, top + new_h
-            crop = np.asarray([left, top, right, bottom], np.float32)
-
-            if boxes.shape[0] > 0:
-                # jaccard overlap of the crop with each box
-                lower = np.maximum(crop[:2], boxes[:, :2])
-                upper = np.minimum(crop[2:], boxes[:, 2:])
-                wh = np.clip(upper - lower, 0, None)
-                inter = wh[:, 0] * wh[:, 1]
-                area_c = new_w * new_h
-                area_b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-                overlap = inter / (area_c + area_b - inter)
-                if overlap.max() < min_overlap:
-                    continue
-
-            if boxes.shape[0] > 0:
-                centers = (boxes[:, :2] + boxes[:, 2:]) / 2.0
-                keep = ((centers[:, 0] > left) & (centers[:, 0] < right)
-                        & (centers[:, 1] > top) & (centers[:, 1] < bottom))
-                if not keep.any():
-                    continue
-                return (left, top, right, bottom), keep
-            return (left, top, right, bottom), None
+        min_scale = 0.5
+        new_h = (rng.uniform(min_scale, 1.0, T) * h).astype(np.int64)
+        new_w = (rng.uniform(min_scale, 1.0, T) * w).astype(np.int64)
+        aspect_ok = (new_h * 2 > new_w) & (new_h < 2 * new_w)  # 0.5<h/w<2
+        left = rng.integers(0, w - new_w + 1)
+        top = rng.integers(0, h - new_h + 1)
+        right, bottom = left + new_w, top + new_h
+        valid = aspect_ok
+        if boxes.shape[0] > 0:
+            crops = np.stack([left, top, right, bottom], -1).astype(np.float32)
+            # jaccard overlap of each trial crop with each box
+            lower = np.maximum(crops[:, None, :2], boxes[None, :, :2])
+            upper = np.minimum(crops[:, None, 2:], boxes[None, :, 2:])
+            wh = np.clip(upper - lower, 0, None)
+            inter = wh[..., 0] * wh[..., 1]
+            area_c = (new_w * new_h).astype(np.float32)
+            area_b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+            overlap = inter / (area_c[:, None] + area_b[None, :] - inter)
+            valid &= overlap.max(1) >= min_overlap
+            centers = (boxes[:, :2] + boxes[:, 2:]) / 2.0
+            keeps = ((centers[None, :, 0] > left[:, None])
+                     & (centers[None, :, 0] < right[:, None])
+                     & (centers[None, :, 1] > top[:, None])
+                     & (centers[None, :, 1] < bottom[:, None]))
+            valid &= keeps.any(1)
+        if not valid.any():
+            continue
+        t = int(np.argmax(valid))
+        crop = (int(left[t]), int(top[t]), int(right[t]), int(bottom[t]))
+        if boxes.shape[0] > 0:
+            return crop, keeps[t]
+        return crop, None
 
 
 def crop_boxes(boxes: np.ndarray, crop, keep):

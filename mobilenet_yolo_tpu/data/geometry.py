@@ -56,7 +56,10 @@ def _mirror_x(rect: np.ndarray) -> np.ndarray:
 @dataclass
 class GroupPlan:
     """Device-compose parameters for one output image (fixed MAX_TILES)."""
-    slots: np.ndarray        # (MAX_TILES, S, S, 3) uint8 staged sources
+    staged: list             # n_active staged (S, S, 3) uint8 sources; the
+    #                          collate writes them into slot 0..n-1 of the
+    #                          batch array (unused slots stay uninitialized
+    #                          — the compose masks them out)
     src_rect: np.ndarray     # (MAX_TILES, 4) f32
     dst_rect: np.ndarray     # (MAX_TILES, 4) f32
     fill_rect: np.ndarray    # (MAX_TILES, 4) f32
@@ -64,7 +67,19 @@ class GroupPlan:
     fill_from_mean: np.ndarray  # (MAX_TILES,) bool: device uses src-region mean
     flip: np.ndarray         # (MAX_TILES,) bool
     active: np.ndarray       # (MAX_TILES,) bool
+    noise_gate: np.ndarray   # (MAX_TILES,) bool: device adds gaussian noise
+    noise_scale: np.ndarray  # (MAX_TILES,) f32 noise stddev in [0, 255] units
+    noise_per_channel: np.ndarray  # (MAX_TILES,) bool
     labels: np.ndarray       # (n, 6) normalized (cls, cx, cy, w, h, difficult)
+
+    @property
+    def slots(self) -> np.ndarray:
+        """(MAX_TILES, S, S, 3) uint8 view for tests/standalone compose."""
+        s = self.staged[0].shape[0]
+        out = np.zeros((MAX_TILES, s, s, 3), np.uint8)
+        for k, img in enumerate(self.staged):
+            out[k] = img
+        return out
 
 
 def plan_source_geometry(h: int, w: int, boxes: np.ndarray, cls: np.ndarray,
@@ -126,31 +141,44 @@ def plan_source_geometry(h: int, w: int, boxes: np.ndarray, cls: np.ndarray,
 
 
 class GeometryPlanner:
-    """Plans device-compose batches from decoded records."""
+    """Plans device-compose batches from decoded records.
 
-    def __init__(self, stage_size: int = 448, expand_scale: float = 1.5,
+    ``stage_size``: staging square for the sources. 0/None = adaptive —
+    each batch stages at its output resolution, which matches the host
+    path's effective source resolution (it crops the native image and
+    resizes to the output anyway) while shipping ~40% fewer bytes to the
+    device than a fixed 448 square.
+    """
+
+    def __init__(self, stage_size: int | None = 448,
+                 expand_scale: float = 1.5,
                  mean=(0.5, 0.5, 0.5), apply_noise: bool = True,
                  mosaic_canvas=(1000, 1000)):
-        self.stage_size = int(stage_size)
+        self.stage_size = int(stage_size or 0)
         self.expand_scale = float(expand_scale)
         self.mean = np.asarray(mean, np.float32)
         self.apply_noise = apply_noise
         self.mosaic_canvas = tuple(mosaic_canvas)
 
-    def _stage(self, img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-        """One host resize to the staging square (+ staged pixel noise)."""
+    def _stage(self, img: np.ndarray, rng: np.random.Generator, plan,
+               k: int, s: int) -> None:
+        """One host resize to the staging square, staged blur/sharpen and
+        deferred additive-noise params (applied on device) into slot k."""
         import cv2
-        s = self.stage_size
         staged = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
         if self.apply_noise:
-            staged = augment.pixel_noise(staged, rng)
-        return staged
+            staged, deferred = augment.pixel_noise(staged, rng,
+                                                   defer_noise=True)
+            if deferred is not None:
+                plan.noise_gate[k] = True
+                plan.noise_scale[k] = deferred[0]
+                plan.noise_per_channel[k] = deferred[1]
+        plan.staged.append(staged)
 
     def _empty(self) -> GroupPlan:
-        s = self.stage_size
         t = MAX_TILES
         return GroupPlan(
-            slots=np.zeros((t, s, s, 3), np.uint8),
+            staged=[],
             src_rect=np.tile(np.asarray([0, 0, 1, 1], np.float32), (t, 1)),
             dst_rect=np.tile(np.asarray([0, 0, 1, 1], np.float32), (t, 1)),
             fill_rect=np.zeros((t, 4), np.float32),
@@ -158,22 +186,29 @@ class GeometryPlanner:
             fill_from_mean=np.zeros((t,), bool),
             flip=np.zeros((t,), bool),
             active=np.zeros((t,), bool),
+            noise_gate=np.zeros((t,), bool),
+            noise_scale=np.zeros((t,), np.float32),
+            noise_per_channel=np.zeros((t,), bool),
             labels=np.zeros((0, 6), np.float32),
         )
 
-    def plan_group(self, sources, rng: np.random.Generator) -> GroupPlan:
+    def plan_group(self, sources, rng: np.random.Generator,
+                   stage: int | None = None) -> GroupPlan:
         """``sources``: list of ≤4 decoded records ``(image_u8, boxes_px,
         cls, difficult)`` with boxes as pixel corners in the native image.
         Group of 1 -> expand/crop/flip single; group of N -> per-source
         crop/flip + mosaic placement (folder2lmdb.py:155-177 semantics:
-        expand only for singles)."""
+        expand only for singles). ``stage`` overrides the staging square
+        (adaptive mode)."""
         assert 1 <= len(sources) <= MAX_TILES
+        s = int(stage or self.stage_size)
+        assert s > 0, "adaptive staging needs an explicit per-batch size"
         plan = self._empty()
         if len(sources) == 1:
             img, boxes, cls, diff = sources[0]
             h, w = img.shape[:2]
             # draw order matches DetectionDataset.get_single: noise first
-            plan.slots[0] = self._stage(img, rng)
+            self._stage(img, rng, plan, 0, s)
             src, dst, flip, _, rows = plan_source_geometry(
                 h, w, boxes, cls, diff, rng, self.expand_scale,
                 allow_expand=True)
@@ -190,7 +225,7 @@ class GeometryPlanner:
         shapes = []
         for k, (img, boxes, cls, diff) in enumerate(sources):
             h, w = img.shape[:2]
-            plan.slots[k] = self._stage(img, rng)
+            self._stage(img, rng, plan, k, s)
             src, dst, flip, (cw, ch), rows = plan_source_geometry(
                 h, w, boxes, cls, diff, rng, self.expand_scale,
                 allow_expand=False)

@@ -48,19 +48,14 @@ def _rgb_to_hsv(x):
 
 
 def _hsv_to_rgb(h, s, v):
-    h6 = h * 6.0
-    i = jnp.floor(h6)
-    f = h6 - i
-    p = v * (1 - s)
-    q = v * (1 - s * f)
-    t = v * (1 - s * (1 - f))
-    i = (i.astype(jnp.int32) % 6)[..., None]
-    opts = jnp.stack([
-        jnp.stack([v, t, p], -1), jnp.stack([q, v, p], -1),
-        jnp.stack([p, v, t], -1), jnp.stack([p, q, v], -1),
-        jnp.stack([t, p, v], -1), jnp.stack([v, p, q], -1)], 0)
-    idx = jnp.broadcast_to(i[None], (1,) + i.shape[:-1] + (3,))
-    return jnp.take_along_axis(opts, idx, axis=0)[0]
+    # branchless closed form (identical to the 6-sector formula): channel
+    # n in {5,3,1} is v - v*s*clip(min(k, 4-k), 0, 1), k = (n+6h) mod 6.
+    # The 6-way stack+gather alternative materializes a 6x-batch tensor
+    # and is ~100x slower on TPU (memory-bound gather over HBM).
+    def chan(n):
+        k = (n + h * 6.0) % 6.0
+        return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+    return jnp.stack([chan(5.0), chan(3.0), chan(1.0)], -1)
 
 
 def color_jitter(images: jax.Array, key: jax.Array) -> jax.Array:
@@ -206,6 +201,26 @@ def _compose_one(slots, src_rect, dst_rect, fill_rect, fill_color,
         pmask = _rect_mask(dr, out_h, out_w) & active[k]
         out = jnp.where(pmask[..., None], res, out)
     return out
+
+
+def slot_noise(slots, key, gate, scale, per_channel) -> jax.Array:
+    """Additive gaussian noise per staged source slot — the device half of
+    the host's deferred imgaug AdditiveGaussianNoise op
+    (data/augment.py:pixel_noise(defer_noise=True)): the host samples
+    whether/with which parameters per source; the device draws the ~600k
+    gaussians.
+
+    slots (B, T, S, S, 3) uint8/f32; gate/per_channel (B, T) bool;
+    scale (B, T) f32 in [0, 255] units. Returns f32 [0, 255].
+    """
+    x = slots.astype(jnp.float32)
+    k3, k1 = jax.random.split(key)
+    n3 = jax.random.normal(k3, x.shape)
+    n1 = jax.random.normal(k1, x.shape[:-1])[..., None]
+    pc = per_channel[:, :, None, None, None]
+    g = gate[:, :, None, None, None]
+    noise = jnp.where(pc, n3, n1) * scale[:, :, None, None, None]
+    return jnp.clip(jnp.where(g, x + noise, x), 0.0, 255.0)
 
 
 def geometric_compose(slots, src_rect, dst_rect, fill_rect, fill_color,

@@ -164,7 +164,8 @@ def make_train_step(
 
 
 GEOMETRY_BATCH_KEYS = ("slots", "src_rect", "dst_rect", "fill_rect",
-                       "fill_color", "fill_from_mean", "flip", "active")
+                       "fill_color", "fill_from_mean", "flip", "active",
+                       "noise_gate", "noise_scale", "noise_per_channel")
 
 
 def make_geometry_train_step(model, config: dict,
@@ -181,16 +182,23 @@ def make_geometry_train_step(model, config: dict,
     size bucket (``out_hw`` selects it; multiscale = a handful of caches,
     exactly like the shape-bucketed plain step).
     """
-    from mobilenet_yolo_tpu.ops.device_augment import geometric_compose
+    from mobilenet_yolo_tpu.ops.device_augment import (geometric_compose,
+                                                       slot_noise)
 
     loss_fn = make_loss_fn(model, config, segmentation=False, normalize=True)
 
     def build(out_hw):
         def step(state, slots, src_rect, dst_rect, fill_rect, fill_color,
-                 fill_from_mean, flip, active, gt, n_gt, aug_key):
+                 fill_from_mean, flip, active, noise_gate, noise_scale,
+                 noise_per_channel, gt, n_gt, aug_key):
+            k_noise, k_jitter = jax.random.split(aug_key)
+            # noise before jitter: the reference applies the imgaug seq
+            # before transform_od's photometric (folder2lmdb.py:131-135)
+            slots = slot_noise(slots, k_noise, noise_gate, noise_scale,
+                               noise_per_channel)
             images = geometric_compose(
                 slots, src_rect, dst_rect, fill_rect, fill_color,
-                fill_from_mean, flip, active, out_hw, jitter_key=aug_key)
+                fill_from_mean, flip, active, out_hw, jitter_key=k_jitter)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (new_stats, metrics)), grads = grad_fn(
                 state.params, state.batch_stats, images, gt, n_gt, None)
@@ -202,7 +210,7 @@ def make_geometry_train_step(model, config: dict,
         if mesh is not None:
             repl = replicated(mesh)
             data = batch_sharding(mesh)
-            in_sh = (repl,) + (data,) * 10 + (repl,)
+            in_sh = (repl,) + (data,) * 13 + (repl,)
             return jax.jit(step, in_shardings=in_sh,
                            out_shardings=(repl, repl), donate_argnums=(0,))
         return jax.jit(step, donate_argnums=(0,))
