@@ -310,7 +310,10 @@ class Loader:
         s = plans[0].staged[0].shape[0]
         shape = (len(plans), MAX_TILES, s, s, 3)
         ring, idx = self._slot_rings.setdefault(shape, ([], 0))
-        if len(ring) < max(3, self.prefetch + 2):
+        # depth covers: the buffer being filled + the prefetch queue + the
+        # consumer's current batch + one async in-flight transfer (the
+        # trainer drains metrics one batch late)
+        if len(ring) < max(4, self.prefetch + 3):
             # uninitialized, not zeros: unused slots are masked on device
             ring.append(np.empty(shape, np.uint8))
         idx = (idx + 1) % len(ring)

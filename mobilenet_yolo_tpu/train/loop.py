@@ -148,6 +148,31 @@ class Trainer:
         self.state = self.state.with_lr(lr)
         meters = MeterDict()
         start = time.time()
+
+        # Metrics are consumed one batch late: materializing them (a host
+        # scalar fetch) immediately after dispatch would sync on every
+        # step and serialize the next batch's host->device transfer behind
+        # the current step's compute. The one-batch delay keeps the
+        # dispatch queue one deep (reads still fire the NaN tripwire, one
+        # batch late).
+        pending: tuple | None = None
+
+        def drain(p):
+            j, p_bs, p_metrics = p
+            loss_val = float(p_metrics["loss"])
+            if not np.isfinite(loss_val):
+                # NaN tripwire (reference yolo_loss.py:231-232)
+                self._log(f"WARNING: non-finite loss {loss_val} at "
+                          f"epoch {epoch} batch {j}")
+            meters.update({k: float(v) for k, v in p_metrics.items()}, p_bs)
+            if self.verbose and j % self.cfg.log_suffix_every == 0:
+                a = meters.averages()
+                self._log(
+                    f"  e{epoch} b{j}: loss {a.get('loss', 0):.4f} "
+                    f"iou {(a.get('avg_iou0', 0) + a.get('avg_iou1', 0)) / 2:.3f} "
+                    f"obj {(a.get('obj0', 0) + a.get('obj1', 0)) / 2:.3f} "
+                    f"recall {(a.get('recall0', 0) + a.get('recall1', 0)) / 2:.3f}")
+
         for i, batch in enumerate(loader):
             if self.device_geometry:
                 args = tuple(jnp.asarray(batch[k])
@@ -174,20 +199,11 @@ class Trainer:
                                               epoch * 100003 + i),)
                 self.state, metrics = self.train_step(self.state, *args,
                                                       *seg, *key)
-            bs = batch["gt"].shape[0]
-            loss_val = float(metrics["loss"])
-            if not np.isfinite(loss_val):
-                # NaN tripwire (reference yolo_loss.py:231-232)
-                self._log(f"WARNING: non-finite loss {loss_val} at "
-                          f"epoch {epoch} batch {i}")
-            meters.update({k: float(v) for k, v in metrics.items()}, bs)
-            if self.verbose and i % self.cfg.log_suffix_every == 0:
-                a = meters.averages()
-                self._log(
-                    f"  e{epoch} b{i}: loss {a.get('loss', 0):.4f} "
-                    f"iou {(a.get('avg_iou0', 0) + a.get('avg_iou1', 0)) / 2:.3f} "
-                    f"obj {(a.get('obj0', 0) + a.get('obj1', 0)) / 2:.3f} "
-                    f"recall {(a.get('recall0', 0) + a.get('recall1', 0)) / 2:.3f}")
+            if pending is not None:
+                drain(pending)
+            pending = (i, batch["gt"].shape[0], metrics)
+        if pending is not None:
+            drain(pending)
         avgs = meters.averages()
         avgs["lr"] = lr
         avgs["epoch_time"] = time.time() - start
