@@ -32,6 +32,16 @@ class GrainLoader(Loader):
         def load(entry):
             batch_idx, (groups, size_idx) = entry
             b_rng = np.random.default_rng((seed, epoch, p_idx, batch_idx))
+            if self.device_geometry:
+                # same branch as Loader._epoch_batches; slot rings live in
+                # the worker processes and grain copies batches across the
+                # process boundary, so ring reuse stays safe under mp
+                w, h = self.transform_size[size_idx]
+                stage = self.planner.stage_size or max(w, h)
+                plans = [self.planner.plan_group(
+                    [self.ds.decode_source(i)[:4] for i in g], b_rng,
+                    stage=stage) for g in groups]
+                return self._collate_geometry(plans, size_idx)
             samples = [self.ds.get_group(g, b_rng) for g in groups]
             return self._collate(samples, size_idx)
 

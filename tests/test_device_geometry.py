@@ -285,6 +285,29 @@ def test_loader_geometry_batches(tmp_path, rng):
         assert b["active"].any(axis=1).all()  # every output has >=1 tile
 
 
+def test_grain_loader_geometry_mp(tmp_path, rng):
+    """GrainLoader(device_geometry=True) with mp workers yields the same
+    batch contract (slot rings live per worker; grain copies batches)."""
+    pytest.importorskip("grain")
+    from mobilenet_yolo_tpu.data.grain_pipeline import GrainLoader
+    from mobilenet_yolo_tpu.data.pipeline import DetectionDataset
+    from mobilenet_yolo_tpu.data.records import RecordReader
+
+    d = _make_shard(tmp_path, rng)
+    ds = DetectionDataset(RecordReader(d), phase="train",
+                          apply_noise=False, apply_photometric=False)
+    loader = GrainLoader(ds, 4, [[64, 64]], [0.5] * 3, [1.0] * 3,
+                         mosaic_num=[1, 2], max_gt=10, prefetch=0,
+                         device_geometry=True, stage_size=64,
+                         num_workers=2)
+    batches = list(loader)
+    assert batches
+    for b in batches:
+        assert b["slots"].shape == (4, 4, 64, 64, 3)
+        assert b["active"].any(axis=1).all()
+        assert b["gt"].shape == (4, 10, 5)
+
+
 def test_geometry_train_step_learns(tmp_path, rng):
     """One jitted geometry step runs and updates params (single device)."""
     from mobilenet_yolo_tpu.data.pipeline import DetectionDataset, Loader
