@@ -63,7 +63,8 @@ def get_params(argv=None):
                              " (data/geometry.py, ops/device_augment.py)."
                              " The host only decodes + stages each source"
                              " (~5x host pipeline speedup on slow hosts)."
-                             " Detection-only (no seg branch)")
+                             " Seg datasets: /16 targets rasterize on"
+                             " device too")
     parser.add_argument("--stage-size", default=0, type=int,
                         help="staging square for --device-geometry sources;"
                              " 0 (default) = adaptive: stage at each"
@@ -131,8 +132,7 @@ def main(args):
     )
     device_normalize = not args.synthetic and not args.host_normalize
     device_pixel_aug = args.device_pixel_aug and device_normalize
-    device_geometry = (args.device_geometry and not args.synthetic
-                       and not segmentation)
+    device_geometry = args.device_geometry and not args.synthetic
     trainer = Trainer(model, model_cfg, classes_name, tcfg,
                       segmentation=segmentation, report=make_report_hook(),
                       device_normalize=device_normalize,

@@ -71,6 +71,8 @@ class GroupPlan:
     noise_scale: np.ndarray  # (MAX_TILES,) f32 noise stddev in [0, 255] units
     noise_per_channel: np.ndarray  # (MAX_TILES,) bool
     labels: np.ndarray       # (n, 6) normalized (cls, cx, cy, w, h, difficult)
+    seg_staged: list | None = None  # staged (S, S) uint8 id maps (singles)
+    seg_active: np.ndarray | None = None  # (MAX_TILES,) bool
 
     @property
     def slots(self) -> np.ndarray:
@@ -190,6 +192,8 @@ class GeometryPlanner:
             noise_scale=np.zeros((t,), np.float32),
             noise_per_channel=np.zeros((t,), bool),
             labels=np.zeros((0, 6), np.float32),
+            seg_staged=[],
+            seg_active=np.zeros((t,), bool),
         )
 
     def plan_group(self, sources, rng: np.random.Generator,
@@ -205,10 +209,17 @@ class GeometryPlanner:
         assert s > 0, "adaptive staging needs an explicit per-batch size"
         plan = self._empty()
         if len(sources) == 1:
-            img, boxes, cls, diff = sources[0]
+            img, boxes, cls, diff = sources[0][:4]
+            seg = sources[0][4] if len(sources[0]) > 4 else None
             h, w = img.shape[:2]
             # draw order matches DetectionDataset.get_single: noise first
             self._stage(img, rng, plan, 0, s)
+            if seg is not None:
+                import cv2
+                # NEAREST keeps class ids intact; same tile rects apply
+                plan.seg_staged.append(cv2.resize(
+                    seg, (s, s), interpolation=cv2.INTER_NEAREST))
+                plan.seg_active[0] = True
             src, dst, flip, _, rows = plan_source_geometry(
                 h, w, boxes, cls, diff, rng, self.expand_scale,
                 allow_expand=True)
@@ -223,7 +234,10 @@ class GeometryPlanner:
 
         per_source = []
         shapes = []
-        for k, (img, boxes, cls, diff) in enumerate(sources):
+        # mosaic groups carry no segmentation, like the host path
+        # (folder2lmdb.py:155-177: get_group returns seg None for groups)
+        for k, src in enumerate(sources):
+            img, boxes, cls, diff = src[:4]
             h, w = img.shape[:2]
             self._stage(img, rng, plan, k, s)
             src, dst, flip, (cw, ch), rows = plan_source_geometry(

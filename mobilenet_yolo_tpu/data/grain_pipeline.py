@@ -39,7 +39,8 @@ class GrainLoader(Loader):
                 w, h = self.transform_size[size_idx]
                 stage = self.planner.stage_size or max(w, h)
                 plans = [self.planner.plan_group(
-                    [self.ds.decode_source(i)[:4] for i in g], b_rng,
+                    [self.ds.decode_source(i)[:5 if self.ds.has_seg else 4]
+                     for i in g], b_rng,
                     stage=stage) for g in groups]
                 return self._collate_geometry(plans, size_idx)
             samples = [self.ds.get_group(g, b_rng) for g in groups]

@@ -194,9 +194,6 @@ class Loader:
         if device_geometry:
             assert dataset.phase == "train", \
                 "device_geometry is a train-time path (test is identity)"
-            assert not dataset.has_seg, \
-                "device_geometry does not rasterize segmentation yet; " \
-                "use the host pipeline for seg datasets"
             from mobilenet_yolo_tpu.data.geometry import GeometryPlanner
             # stage_size None = adaptive: stage each batch's sources at its
             # output resolution (same effective resolution as the host
@@ -322,6 +319,18 @@ class Loader:
         for i, p in enumerate(plans):
             for k, img in enumerate(p.staged):
                 slots[i, k] = img
+        seg_slots = None
+        if self.ds.has_seg:
+            seg_shape = shape[:-1]  # (B, T, S, S) id maps
+            sring, sidx = self._slot_rings.setdefault(seg_shape, ([], 0))
+            if len(sring) < max(4, self.prefetch + 3):
+                sring.append(np.zeros(seg_shape, np.uint8))
+            sidx = (sidx + 1) % len(sring)
+            self._slot_rings[seg_shape] = (sring, sidx)
+            seg_slots = sring[sidx]
+            for i, p in enumerate(plans):
+                for k, seg in enumerate(p.seg_staged):
+                    seg_slots[i, k] = seg
         batch = {
             "slots": slots,
             "src_rect": np.stack([p.src_rect for p in plans]),
@@ -337,6 +346,9 @@ class Loader:
                                            for p in plans]),
             "out_size": (h, w),
         }
+        if seg_slots is not None:
+            batch["seg_slots"] = seg_slots
+            batch["seg_active"] = np.stack([p.seg_active for p in plans])
         gt = np.zeros((len(plans), self.max_gt, 5), np.float32)
         gt_difficult = np.zeros((len(plans), self.max_gt), np.float32)
         n_gt = np.zeros((len(plans),), np.int32)
@@ -383,7 +395,8 @@ class Loader:
                 w, h = self.transform_size[size_idx]
                 stage = self.planner.stage_size or max(w, h)
                 plans = [self.planner.plan_group(
-                    [self.ds.decode_source(i)[:4] for i in g], b_rng,
+                    [self.ds.decode_source(i)[:5 if self.ds.has_seg else 4]
+                     for i in g], b_rng,
                     stage=stage)
                     for g in batch_groups]
                 yield self._collate_geometry(plans, size_idx)

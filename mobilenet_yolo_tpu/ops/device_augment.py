@@ -223,6 +223,64 @@ def slot_noise(slots, key, gate, scale, per_channel) -> jax.Array:
     return jnp.clip(jnp.where(g, x + noise, x), 0.0, 255.0)
 
 
+def _axis_weights_area(out_size: int, in_size: int, src0, src1, dst0, dst1):
+    """(out_size, in_size) AREA-average weight matrix: output cell o's
+    source span is box-filtered over the input pixels it covers (exact
+    cv2.INTER_AREA for separable scaling — the right filter for heavy
+    downscale of {0,1} masks, where bilinear point-sampling aliases).
+    Rows outside the destination span are garbage (masked by caller)."""
+    denom = jnp.maximum(dst1 - dst0, 1e-6)
+    o = jnp.arange(out_size, dtype=jnp.float32)
+    step = (src1 - src0) / denom
+    u0 = src0 + (o - dst0) * step          # output cell's source span
+    u1 = u0 + step
+    u0 = jnp.clip(u0, 0.0, float(in_size))
+    u1 = jnp.clip(u1, 0.0, float(in_size))
+    i = jnp.arange(in_size, dtype=jnp.float32)
+    overlap = (jnp.minimum(u1[:, None], i[None, :] + 1.0)
+               - jnp.maximum(u0[:, None], i[None, :]))
+    w = jnp.clip(overlap, 0.0, None)
+    return w / jnp.maximum((u1 - u0)[:, None], 1e-6)
+
+
+def seg_compose(seg_slots, src_rect, dst_rect, flip, seg_active,
+                out_hw16, num_classes: int) -> jax.Array:
+    """Compose segmentation training targets on device.
+
+    seg_slots (B, T, S, S) uint8 class-id maps staged with NEAREST;
+    src/dst rects and flip are the SAME tile parameters as the image
+    compose; seg_active (B, T) bool (False outside singles — the host
+    path carries no seg through mosaics, folder2lmdb.py:155-177).
+    Returns (B, H16, W16, num_classes) float32 in [0, 1] — the
+    fraction-of-coverage targets the host path produces by AREA-resizing
+    per-class masks (pipeline._collate, reference folder2lmdb.py:243-250).
+    Regions outside every tile (expand filler) are 0 = background.
+    """
+    out_h, out_w = int(out_hw16[0]), int(out_hw16[1])
+    s_h, s_w = seg_slots.shape[2], seg_slots.shape[3]
+
+    def one(slots, srcs, dsts, flips, acts):
+        out = jnp.zeros((out_h, out_w, num_classes), jnp.float32)
+        for k in range(slots.shape[0]):
+            ids = slots[k]
+            ids = jnp.where(flips[k], ids[:, ::-1], ids)
+            sr, dr = srcs[k], dsts[k]
+            wy = _axis_weights_area(out_h, s_h, sr[1] * s_h, sr[3] * s_h,
+                                    dr[1] * out_h, dr[3] * out_h)
+            wx = _axis_weights_area(out_w, s_w, sr[0] * s_w, sr[2] * s_w,
+                                    dr[0] * out_w, dr[2] * out_w)
+            masks = jnp.stack(
+                [(ids == c).astype(jnp.float32)
+                 for c in range(1, num_classes + 1)], -1)
+            res = jnp.einsum("oi,ijc->ojc", wy, masks)
+            res = jnp.einsum("pj,ojc->opc", wx, res)
+            pmask = _rect_mask(dr, out_h, out_w) & acts[k]
+            out = jnp.where(pmask[..., None], res, out)
+        return jnp.clip(out, 0.0, 1.0)
+
+    return jax.vmap(one)(seg_slots, src_rect, dst_rect, flip, seg_active)
+
+
 def geometric_compose(slots, src_rect, dst_rect, fill_rect, fill_color,
                       fill_from_mean, flip, active, out_hw,
                       jitter_key=None) -> jax.Array:

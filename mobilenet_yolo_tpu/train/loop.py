@@ -111,9 +111,9 @@ class Trainer:
         # augmentation pipeline on device (make_geometry_train_step)
         self.device_geometry = device_geometry
         if device_geometry:
-            assert not segmentation, "device_geometry has no seg path yet"
-            self.train_step = make_geometry_train_step(model, model_cfg,
-                                                       self.tx, mesh=mesh)
+            self.train_step = make_geometry_train_step(
+                model, model_cfg, self.tx, mesh=mesh,
+                segmentation=segmentation)
         else:
             self.train_step = make_train_step(
                 model, model_cfg, self.tx, segmentation=segmentation,
@@ -177,6 +177,9 @@ class Trainer:
             if self.device_geometry:
                 args = tuple(jnp.asarray(batch[k])
                              for k in GEOMETRY_BATCH_KEYS)
+                if self.segmentation:
+                    args += (jnp.asarray(batch["seg_slots"]),
+                             jnp.asarray(batch["seg_active"]))
                 args += (jnp.asarray(batch["gt"]),
                          jnp.asarray(batch["n_gt"]))
                 if self.mesh is not None:

@@ -170,27 +170,33 @@ GEOMETRY_BATCH_KEYS = ("slots", "src_rect", "dst_rect", "fill_rect",
 
 def make_geometry_train_step(model, config: dict,
                              tx: optax.GradientTransformation,
-                             mesh=None) -> Callable:
+                             mesh=None, segmentation: bool = False) -> Callable:
     """Train step with the WHOLE augmentation pipeline on device.
 
     Returns ``step(state, *geom_arrays, gt, n_gt, aug_key, out_hw=(H, W))``
     where ``geom_arrays`` are the 8 GEOMETRY_BATCH_KEYS arrays produced by
-    ``Loader(device_geometry=True)``. The step composes expand/crop/flip/
-    mosaic from the staged sources (ops/device_augment.py:
-    geometric_compose), color-jitters each source, normalizes, then runs
+    ``Loader(device_geometry=True)`` — plus ``(seg_slots, seg_active)``
+    after them when ``segmentation`` is on (the /16 training targets are
+    then rasterized on device too, ops/device_augment.py:seg_compose).
+    The step composes expand/crop/flip/mosaic from the staged sources
+    (geometric_compose), color-jitters each source, normalizes, then runs
     the usual forward/loss/backward/update — one XLA program per output
     size bucket (``out_hw`` selects it; multiscale = a handful of caches,
     exactly like the shape-bucketed plain step).
     """
     from mobilenet_yolo_tpu.ops.device_augment import (geometric_compose,
+                                                       seg_compose,
                                                        slot_noise)
 
-    loss_fn = make_loss_fn(model, config, segmentation=False, normalize=True)
+    loss_fn = make_loss_fn(model, config, segmentation=segmentation,
+                           normalize=True)
+    seg_classes = int(config.get("seg", {}).get("num_classes", 0))
 
     def build(out_hw):
-        def step(state, slots, src_rect, dst_rect, fill_rect, fill_color,
+        def core(state, slots, src_rect, dst_rect, fill_rect, fill_color,
                  fill_from_mean, flip, active, noise_gate, noise_scale,
-                 noise_per_channel, gt, n_gt, aug_key):
+                 noise_per_channel, gt, n_gt, aug_key,
+                 seg_slots=None, seg_active=None):
             k_noise, k_jitter = jax.random.split(aug_key)
             # noise before jitter: the reference applies the imgaug seq
             # before transform_od's photometric (folder2lmdb.py:131-135)
@@ -199,18 +205,43 @@ def make_geometry_train_step(model, config: dict,
             images = geometric_compose(
                 slots, src_rect, dst_rect, fill_rect, fill_color,
                 fill_from_mean, flip, active, out_hw, jitter_key=k_jitter)
+            seg_maps = None
+            if segmentation:
+                seg_maps = seg_compose(
+                    seg_slots, src_rect, dst_rect, flip, seg_active,
+                    (out_hw[0] // 16, out_hw[1] // 16), seg_classes)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (new_stats, metrics)), grads = grad_fn(
-                state.params, state.batch_stats, images, gt, n_gt, None)
+                state.params, state.batch_stats, images, gt, n_gt, seg_maps)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             return state.replace(params=new_params, batch_stats=new_stats,
                                  opt_state=new_opt), metrics
 
+        if segmentation:
+            def step(state, slots, src_rect, dst_rect, fill_rect,
+                     fill_color, fill_from_mean, flip, active, noise_gate,
+                     noise_scale, noise_per_channel, seg_slots, seg_active,
+                     gt, n_gt, aug_key):
+                return core(state, slots, src_rect, dst_rect, fill_rect,
+                            fill_color, fill_from_mean, flip, active,
+                            noise_gate, noise_scale, noise_per_channel,
+                            gt, n_gt, aug_key, seg_slots, seg_active)
+            n_data = 15
+        else:
+            def step(state, slots, src_rect, dst_rect, fill_rect,
+                     fill_color, fill_from_mean, flip, active, noise_gate,
+                     noise_scale, noise_per_channel, gt, n_gt, aug_key):
+                return core(state, slots, src_rect, dst_rect, fill_rect,
+                            fill_color, fill_from_mean, flip, active,
+                            noise_gate, noise_scale, noise_per_channel,
+                            gt, n_gt, aug_key)
+            n_data = 13
+
         if mesh is not None:
             repl = replicated(mesh)
             data = batch_sharding(mesh)
-            in_sh = (repl,) + (data,) * 13 + (repl,)
+            in_sh = (repl,) + (data,) * n_data + (repl,)
             return jax.jit(step, in_shardings=in_sh,
                            out_shardings=(repl, repl), donate_argnums=(0,))
         return jax.jit(step, donate_argnums=(0,))

@@ -127,6 +127,123 @@ def test_compose_inactive_tiles_are_ignored(rng):
     assert np.array_equal(np.asarray(out[0]), img.astype(np.float32))
 
 
+# --------------------------------------------------- seg target compose
+
+
+def test_seg_compose_identity_matches_area_resize(rng):
+    """Full rects: /16 targets == the host path's AREA-resize of the
+    per-class masks (exact block means at integer scale)."""
+    cv2 = pytest.importorskip("cv2")
+    from mobilenet_yolo_tpu.ops.device_augment import seg_compose
+
+    S, C = 64, 2
+    ids = rng.integers(0, C + 1, (S, S), np.uint8)
+    slots = np.zeros((1, 4, S, S), np.uint8)
+    slots[0, 0] = ids
+    act = np.zeros((1, 4), bool)
+    act[0, 0] = True
+    out = np.asarray(seg_compose(
+        jnp.asarray(slots), jnp.asarray(FULL[None]), jnp.asarray(FULL[None]),
+        jnp.asarray(np.zeros((1, 4), bool)), jnp.asarray(act),
+        (S // 16, S // 16), C)[0])
+    for c in range(1, C + 1):
+        mask = (ids == c).astype(np.float32) * 255.0
+        ref = cv2.resize(mask, (S // 16, S // 16),
+                         interpolation=cv2.INTER_AREA) / 255.0
+        np.testing.assert_allclose(out[..., c - 1], ref, atol=1e-5)
+
+
+def test_seg_compose_crop_and_flip(rng):
+    """16-aligned crop + flip == host slice/flip then AREA resize."""
+    cv2 = pytest.importorskip("cv2")
+    from mobilenet_yolo_tpu.ops.device_augment import seg_compose
+
+    S, C = 64, 1
+    ids = (rng.random((S, S)) < 0.4).astype(np.uint8)
+    slots = np.zeros((1, 4, S, S), np.uint8)
+    slots[0, 0] = ids
+    src = FULL.copy()
+    src[0] = [16 / S, 0, 48 / S, 32 / S]  # cols 16:48, rows 0:32 (flipped)
+    act = np.zeros((1, 4), bool)
+    act[0, 0] = True
+    flip = np.zeros((1, 4), bool)
+    flip[0, 0] = True
+    out = np.asarray(seg_compose(
+        jnp.asarray(slots), jnp.asarray(src[None]), jnp.asarray(FULL[None]),
+        jnp.asarray(flip), jnp.asarray(act), (2, 2), C)[0])
+    crop = ids[:, ::-1][0:32, 16:48].astype(np.float32)
+    ref = cv2.resize(crop * 255.0, (2, 2),
+                     interpolation=cv2.INTER_AREA) / 255.0
+    np.testing.assert_allclose(out[..., 0], ref, atol=1e-5)
+
+
+def test_seg_compose_inactive_is_zero(rng):
+    from mobilenet_yolo_tpu.ops.device_augment import seg_compose
+
+    S = 32
+    slots = np.full((1, 4, S, S), 2, np.uint8)  # garbage everywhere
+    out = np.asarray(seg_compose(
+        jnp.asarray(slots), jnp.asarray(FULL[None]), jnp.asarray(FULL[None]),
+        jnp.asarray(np.zeros((1, 4), bool)),
+        jnp.asarray(np.zeros((1, 4), bool)), (2, 2), 2)[0])
+    assert np.array_equal(out, np.zeros_like(out))
+
+
+def test_geometry_seg_end_to_end(tmp_path, rng):
+    """Seg dataset through Loader(device_geometry) + segmentation train
+    step: seg batch keys present, one step runs, params update."""
+    cv2 = pytest.importorskip("cv2")
+    from mobilenet_yolo_tpu.data.pipeline import DetectionDataset, Loader
+    from mobilenet_yolo_tpu.data.records import RecordReader, RecordWriter
+    from mobilenet_yolo_tpu.models import build_model
+    from mobilenet_yolo_tpu.train.loop import Trainer, TrainerConfig
+
+    d = str(tmp_path / "segshard")
+    with RecordWriter(d) as w:
+        for i in range(8):
+            img = rng.integers(0, 255, (80, 100, 3), np.uint8)
+            seg = np.zeros((80, 100), np.uint8)
+            seg[40:60] = 1
+            seg[60:80] = 2
+            ok, jbuf = cv2.imencode(".jpg", img)
+            ok, sbuf = cv2.imencode(".png", seg)
+            labels = np.asarray([[1 + i % 3, 0.5, 0.5, 0.4, 0.5]],
+                                np.float32)
+            w.append_record(jbuf.tobytes(), labels, sbuf.tobytes())
+
+    cfg = {
+        "img_w": 64, "img_h": 64, "iou_weighting": 0.02,
+        "normalize": {"mean": [0.5] * 3, "std": [1.0] * 3},
+        "seg": {"num_classes": 2},
+        "yolo": {
+            "num_classes": 4, "num_anchors": 3,
+            "ignore_thresh": [0.6, 0.55], "iou_thresh": 0.55,
+            "anchors": [[34, 47], [48, 40], [70, 70],
+                        [10, 12], [15, 25], [24, 18]],
+            "mask": [[0, 1, 2], [3, 4, 5]],
+        },
+    }
+    model = build_model(cfg, "mbv2")
+    trainer = Trainer(model, cfg, ["bg", "a", "b", "c"],
+                      TrainerConfig(epochs=1, checkpoint_dir=str(
+                          tmp_path / "ck"), tensorboard_dir=None),
+                      verbose=False, segmentation=True,
+                      device_geometry=True)
+    ds = DetectionDataset(RecordReader(d), phase="train", has_seg=True,
+                          seg_num_classes=2, apply_noise=False,
+                          apply_photometric=False)
+    loader = Loader(ds, batch_size=4, transform_size=[[64, 64]],
+                    mean=[0.5] * 3, std=[1.0] * 3, mosaic_num=[1, 2],
+                    max_gt=10, prefetch=0, device_geometry=True,
+                    stage_size=64)
+    b = next(iter(loader))
+    assert b["seg_slots"].shape == (4, 4, 64, 64)
+    assert b["seg_active"].shape == (4, 4)
+    metrics = trainer.train_epoch(loader, epoch=0)
+    assert np.isfinite(metrics["loss"])
+    assert "seg_obj" in metrics
+
+
 # ------------------------------------------------- planner label parity
 
 
