@@ -47,7 +47,12 @@ def main(argv=None):
         paths = dump_pipeline_samples(
             ds, list(range(n)), os.path.join(shard, "preview"),
             class_names=classes, mosaic_group=args.preview_mosaic)
-        print(f"wrote {len(paths)} GT previews to {os.path.dirname(paths[0])}")
+        if paths:
+            print(f"wrote {len(paths)} GT previews to "
+                  f"{os.path.dirname(paths[0])}")
+        else:
+            print("no GT previews written — the built shard is empty "
+                  "(check the imageset lists / extensions in the yaml)")
 
 
 if __name__ == "__main__":

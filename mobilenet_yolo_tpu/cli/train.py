@@ -51,11 +51,13 @@ def get_params(argv=None):
                         help="normalize images on host (default: ship uint8"
                              " and normalize on device, which is faster)")
     parser.add_argument("--device-pixel-aug", action="store_true",
-                        help="run color jitter + additive noise on device"
-                             " (ops/device_augment.py) instead of the host;"
-                             " frees ~7 ms/img of host time on slow hosts."
-                             " Note: jitter op order is fixed on device"
-                             " (host shuffles it per image)")
+                        help="run the photometric color jitter on device"
+                             " (ops/device_augment.py) instead of the host"
+                             " (~6 ms/img of host time on slow hosts); the"
+                             " imgaug noise trio stays host-side with"
+                             " reference probabilities. Note: jitter op"
+                             " order is fixed on device (host shuffles it"
+                             " per image)")
     parser.add_argument("--device-geometry", action="store_true",
                         help="run the WHOLE augmentation pipeline on device:"
                              " expand/crop/flip/mosaic composition + color"
@@ -184,9 +186,11 @@ def main(args):
             RecordReader(data_cfg["trainval_dataset_path"]["lmdb"]),
             phase="train", expand_scale=model_cfg["expand_scale"],
             has_seg=segmentation, seg_num_classes=seg_nc,
-            # device_geometry keeps the host noise trio (on the staged
-            # copy) but always jitters on device
-            apply_noise=device_geometry or not device_pixel_aug,
+            # the host always applies the imgaug noise trio (pixel_noise;
+            # geometry mode defers only the additive-noise op's gaussians
+            # to the device with host-sampled params) — only the
+            # photometric jitter moves wholesale to the device
+            apply_noise=True,
             apply_photometric=not (device_pixel_aug or device_geometry))
         # eval records carry seg maps too when segmentation is on, so the
         # evaluator can report seg mIoU alongside detection mAP

@@ -202,9 +202,20 @@ def build_dataset(data_yaml: str, log=print):
     segmentation = bool(data.get("segmentation_enable", False))
     ext_seg = data["extention_names"].get("segmentation", ["png"])
     # keep_difficult: false matches the reference build (difficult boxes
-    # dropped); true carries them flagged for VOC-protocol evaluation
-    keep_difficult = bool(data.get("keep_difficult", False))
+    # dropped everywhere, folder2lmdb.py:295-307); true carries them
+    # FLAGGED for VOC-protocol evaluation. Train and eval want different
+    # answers (train without difficult boxes, eval with them flagged so
+    # they match neither TP nor FN), so a per-split mapping
+    # ``keep_difficult: {trainval: false, test: true}`` is accepted too —
+    # a bare bool applies to both splits for backward compatibility.
+    kd = data.get("keep_difficult", False)
+    if isinstance(kd, dict):
+        kd = {"trainval_dataset_path": bool(kd.get("trainval", False)),
+              "test_dataset_path": bool(kd.get("test", True))}
+    else:
+        kd = {"trainval_dataset_path": bool(kd),
+              "test_dataset_path": bool(kd)}
     for split in ("trainval_dataset_path", "test_dataset_path"):
         build_split(data[split], classes, ori_classes, ext_img, ext_anno,
-                    segmentation, ext_seg, keep_difficult=keep_difficult,
+                    segmentation, ext_seg, keep_difficult=kd[split],
                     log=log)

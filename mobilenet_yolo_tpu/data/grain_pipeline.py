@@ -22,6 +22,13 @@ class GrainLoader(Loader):
     def __init__(self, *args, num_workers: int = 0, **kwargs):
         super().__init__(*args, **kwargs)
         self.num_workers = num_workers
+        if self.device_geometry:
+            # grain's to_iter_dataset prefetches MANY elements on threads
+            # (ReadOptions default: 16 threads, 500-element buffer), so a
+            # small reuse ring would alias queued batches and concurrent
+            # load() calls would race on it — every grain batch gets a
+            # fresh slots array instead
+            self._use_slot_ring = False
 
     def _epoch_batches(self) -> Iterator[dict]:
         import grain
@@ -33,9 +40,8 @@ class GrainLoader(Loader):
             batch_idx, (groups, size_idx) = entry
             b_rng = np.random.default_rng((seed, epoch, p_idx, batch_idx))
             if self.device_geometry:
-                # same branch as Loader._epoch_batches; slot rings live in
-                # the worker processes and grain copies batches across the
-                # process boundary, so ring reuse stays safe under mp
+                # same branch as Loader._epoch_batches (with the reuse
+                # ring disabled — see __init__)
                 w, h = self.transform_size[size_idx]
                 stage = self.planner.stage_size or max(w, h)
                 plans = [self.planner.plan_group(

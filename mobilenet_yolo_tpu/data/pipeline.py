@@ -52,9 +52,12 @@ def _decode_seg(buf: bytes) -> np.ndarray:
         raise IOError("cannot decode segmentation record")
     if img.ndim == 2:
         return img
-    assert (img[..., :1] == img[..., 1:]).all(), (
-        "3-channel seg PNG is not a replicated class-id map; rebuild the "
-        "dataset with single-channel id maps (palette PNGs are not ids)")
+    if not (img[..., :1] == img[..., 1:]).all():
+        # data validation must survive python -O, so no assert here
+        raise ValueError(
+            "3-channel seg PNG is not a replicated class-id map; rebuild "
+            "the dataset with single-channel id maps (palette PNGs are "
+            "not ids)")
     return img[..., 0]
 
 
@@ -194,20 +197,35 @@ class Loader:
         if device_geometry:
             assert dataset.phase == "train", \
                 "device_geometry is a train-time path (test is identity)"
-            from mobilenet_yolo_tpu.data.geometry import GeometryPlanner
+            from mobilenet_yolo_tpu.data.geometry import (GeometryPlanner,
+                                                          MAX_TILES)
             # stage_size None = adaptive: stage each batch's sources at its
             # output resolution (same effective resolution as the host
             # path, ~40% fewer host->device bytes than a fixed 448)
             self.planner = GeometryPlanner(
                 stage_size=stage_size, expand_scale=dataset.expand_scale,
                 mean=mean, apply_noise=dataset.apply_noise)
-            # rings of reusable slot buffers (one ring per staged shape):
-            # fresh 4*S^2*3-per-sample allocations fault in new kernel
-            # pages every batch (~200 ms at this host's 0.4 GB/s);
-            # recycling buffers makes the write a plain ~20 ms memcpy.
-            # Ring depth covers the prefetch queue + the batch the
-            # consumer holds + the one being filled.
-            self._slot_rings: dict = {}
+            # ring of reusable slot buffers: fresh 4*S^2*3-per-sample
+            # allocations fault in new kernel pages every batch (~200 ms
+            # at this host's 0.4 GB/s); recycling buffers makes the write
+            # a plain ~20 ms memcpy. One ring of MAX-size flat byte
+            # buffers serves every staged shape (reshaped views), so
+            # multiscale does not multiply resident memory. Ring depth
+            # covers the prefetch queue + the consumer's batch + one
+            # async in-flight transfer (the trainer drains metrics one
+            # batch late) + the buffer being filled; image and seg
+            # buffers draw from the same ring (two entries per batch).
+            # Subclasses whose batches outlive this accounting (grain's
+            # threaded prefetch buffers hundreds of elements) must set
+            # _use_slot_ring = False to get fresh arrays instead.
+            self._use_slot_ring = True
+            smax = stage_size or max(max(w, h)
+                                     for w, h in self.transform_size)
+            self._ring_cap = (batch_size * MAX_TILES * smax * smax * 3)
+            self._ring: list = []
+            self._ring_idx = 0
+            self._ring_depth = (max(4, prefetch + 3)
+                                * (2 if dataset.has_seg else 1))
         # fused host normalization: x*scale + bias == ((x/255) - mean)/std
         self._scale = (1.0 / (255.0 * self.std)).astype(np.float32)
         self._bias = (-self.mean / self.std).astype(np.float32)
@@ -305,29 +323,13 @@ class Loader:
         from mobilenet_yolo_tpu.data.geometry import MAX_TILES
         w, h = self.transform_size[size_idx]
         s = plans[0].staged[0].shape[0]
-        shape = (len(plans), MAX_TILES, s, s, 3)
-        ring, idx = self._slot_rings.setdefault(shape, ([], 0))
-        # depth covers: the buffer being filled + the prefetch queue + the
-        # consumer's current batch + one async in-flight transfer (the
-        # trainer drains metrics one batch late)
-        if len(ring) < max(4, self.prefetch + 3):
-            # uninitialized, not zeros: unused slots are masked on device
-            ring.append(np.empty(shape, np.uint8))
-        idx = (idx + 1) % len(ring)
-        self._slot_rings[shape] = (ring, idx)
-        slots = ring[idx]
+        slots = self._slot_buffer((len(plans), MAX_TILES, s, s, 3))
         for i, p in enumerate(plans):
             for k, img in enumerate(p.staged):
                 slots[i, k] = img
         seg_slots = None
         if self.ds.has_seg:
-            seg_shape = shape[:-1]  # (B, T, S, S) id maps
-            sring, sidx = self._slot_rings.setdefault(seg_shape, ([], 0))
-            if len(sring) < max(4, self.prefetch + 3):
-                sring.append(np.zeros(seg_shape, np.uint8))
-            sidx = (sidx + 1) % len(sring)
-            self._slot_rings[seg_shape] = (sring, sidx)
-            seg_slots = sring[sidx]
+            seg_slots = self._slot_buffer((len(plans), MAX_TILES, s, s))
             for i, p in enumerate(plans):
                 for k, seg in enumerate(p.seg_staged):
                     seg_slots[i, k] = seg
@@ -362,6 +364,19 @@ class Loader:
         batch.update(gt=gt, gt_difficult=gt_difficult, n_gt=n_gt,
                      count=count)
         return batch
+
+    def _slot_buffer(self, shape) -> np.ndarray:
+        """Uninitialized uint8 buffer of ``shape`` (unused slots are
+        masked out on device) — a reshaped view of a recycled max-size
+        flat buffer, or a fresh array when ring reuse is unsafe."""
+        n = int(np.prod(shape))
+        if not self._use_slot_ring:
+            return np.empty(shape, np.uint8)
+        assert n <= self._ring_cap, (shape, self._ring_cap)
+        if len(self._ring) < self._ring_depth:
+            self._ring.append(np.empty(self._ring_cap, np.uint8))
+        self._ring_idx = (self._ring_idx + 1) % len(self._ring)
+        return self._ring[self._ring_idx][:n].reshape(shape)
 
     def _sharded_plan(self) -> tuple[list, int]:
         """This host's slice of the epoch plan; returns (plan, process_idx).

@@ -119,9 +119,13 @@ def additive_noise(images: jax.Array, key: jax.Array) -> jax.Array:
 
 
 def device_pixel_aug(images: jax.Array, key: jax.Array) -> jax.Array:
-    """Full device-side pixel pipeline on a raw [0,255] batch: color
-    jitter then additive noise. Output float32 [0, 255] (feed to the
-    normalize step)."""
+    """Color jitter + independently-gated additive noise in one pass.
+
+    NOTE: not used by the trainer — the train paths keep the noise trio
+    host-side (or host-sampled + device-drawn, slot_noise) to preserve
+    the reference's op set/probabilities/order, and apply ``color_jitter``
+    alone on device. This combo remains for standalone use where an
+    independent p=0.5 noise gate after jitter is acceptable."""
     k1, k2 = jax.random.split(key)
     return additive_noise(color_jitter(images, k1), k2)
 

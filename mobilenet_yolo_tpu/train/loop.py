@@ -89,9 +89,10 @@ class Trainer:
         # (Loader(output_uint8=True)) and the jitted step/predict apply the
         # config's mean/std on device — less host work and 4x less
         # host->device transfer
-        # device_pixel_aug: additionally run color jitter + noise on device
-        # (ops/device_augment.py); pair with a host dataset built with
-        # apply_noise=False, apply_photometric=False
+        # device_pixel_aug: additionally run the photometric color jitter
+        # on device (ops/device_augment.py:color_jitter); pair with a host
+        # dataset built with apply_photometric=False (the imgaug noise
+        # trio stays host-side, keeping the reference's op set and order)
         self.model = model
         self.model_cfg = model_cfg
         self.classes_name = classes_name

@@ -106,9 +106,11 @@ def make_train_step(
     -> (state, metrics)``, jitted (and GSPMD-sharded when a mesh is given).
 
     ``pixel_aug=True`` (requires ``normalize=True``, i.e. raw uint8 input)
-    runs the device-side color jitter + noise (ops/device_augment.py)
+    runs the device-side photometric color jitter (ops/device_augment.py)
     inside the step, keyed by a required trailing ``aug_key`` argument —
-    the host pipeline then skips its photometric/noise passes entirely.
+    the host pipeline then skips its photometric pass (it keeps the imgaug
+    noise trio, preserving the reference's op set and noise-before-jitter
+    order).
     """
     if pixel_aug and not normalize:
         raise ValueError("pixel_aug requires normalize=True (raw images)")
@@ -116,8 +118,14 @@ def make_train_step(
 
     def core(state: TrainState, images, gt, n_gt, seg_maps, aug_key):
         if pixel_aug:
-            from mobilenet_yolo_tpu.ops.device_augment import device_pixel_aug
-            images = device_pixel_aug(images, aug_key)
+            # jitter ONLY: the host keeps the full imgaug noise trio
+            # (blur/median/sharpen/additive noise) applied BEFORE its
+            # geometric transforms, preserving the reference's op set,
+            # probabilities and noise-before-jitter order — moving the
+            # noise here too would drop the blur family and re-gate the
+            # noise at an independent p=0.5
+            from mobilenet_yolo_tpu.ops.device_augment import color_jitter
+            images = color_jitter(images, aug_key)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_stats, metrics)), grads = grad_fn(
             state.params, state.batch_stats, images, gt, n_gt, seg_maps,

@@ -403,26 +403,34 @@ def test_loader_geometry_batches(tmp_path, rng):
 
 
 def test_grain_loader_geometry_mp(tmp_path, rng):
-    """GrainLoader(device_geometry=True) with mp workers yields the same
-    batch contract (slot rings live per worker; grain copies batches)."""
+    """GrainLoader(device_geometry=True) with mp workers yields batches
+    CONTENT-identical to the serial Loader on the same seed — guards
+    against slot-buffer aliasing under grain's deep threaded prefetch
+    (the GrainLoader must not reuse the ring: hundreds of queued batches
+    would alias a handful of buffers)."""
     pytest.importorskip("grain")
     from mobilenet_yolo_tpu.data.grain_pipeline import GrainLoader
-    from mobilenet_yolo_tpu.data.pipeline import DetectionDataset
+    from mobilenet_yolo_tpu.data.pipeline import DetectionDataset, Loader
     from mobilenet_yolo_tpu.data.records import RecordReader
 
     d = _make_shard(tmp_path, rng)
     ds = DetectionDataset(RecordReader(d), phase="train",
                           apply_noise=False, apply_photometric=False)
-    loader = GrainLoader(ds, 4, [[64, 64]], [0.5] * 3, [1.0] * 3,
-                         mosaic_num=[1, 2], max_gt=10, prefetch=0,
-                         device_geometry=True, stage_size=64,
-                         num_workers=2)
-    batches = list(loader)
-    assert batches
-    for b in batches:
-        assert b["slots"].shape == (4, 4, 64, 64, 3)
-        assert b["active"].any(axis=1).all()
-        assert b["gt"].shape == (4, 10, 5)
+    kw = dict(mosaic_num=[1, 2], max_gt=10, prefetch=0,
+              device_geometry=True, stage_size=64, seed=5)
+    gl = GrainLoader(ds, 4, [[64, 64]], [0.5] * 3, [1.0] * 3,
+                     num_workers=2, **kw)
+    sl = Loader(ds, 4, [[64, 64]], [0.5] * 3, [1.0] * 3, **kw)
+    grain_batches = list(gl)
+    serial_batches = list(sl)
+    assert grain_batches and len(grain_batches) == len(serial_batches)
+    for gb, sb in zip(grain_batches, serial_batches):
+        assert gb["slots"].shape == (4, 4, 64, 64, 3)
+        assert gb["active"].any(axis=1).all()
+        np.testing.assert_array_equal(
+            gb["slots"][gb["active"]], sb["slots"][sb["active"]])
+        np.testing.assert_array_equal(gb["gt"], sb["gt"])
+        np.testing.assert_array_equal(gb["src_rect"], sb["src_rect"])
 
 
 def test_geometry_train_step_learns(tmp_path, rng):

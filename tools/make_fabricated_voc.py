@@ -10,8 +10,10 @@ epochs. Each class is a distinct shape+color; backgrounds are textured
 noise so batch statistics are healthy (all-zeros inputs NaN the BN chain).
 
 A small fraction of boxes are marked ``difficult`` so the VOC difficult
-protocol (ignored in AP) runs against real shards; pair with
-``keep_difficult: true`` in the data yaml.
+protocol (ignored in AP) runs against real shards; the emitted data yaml
+keeps them flagged in the test split only (``keep_difficult:
+{trainval: false, test: true}`` — train like the reference build, eval
+per the VOC protocol).
 
 Usage:
     python tools/make_fabricated_voc.py --root /tmp/fabvoc \
@@ -173,7 +175,10 @@ def main():
             "lists": [f"{root}/ImageSets/Main/test.txt"],
             "lmdb": f"{root}/test-records", "name": "fab_test"},
         "segmentation_enable": False,
-        "keep_difficult": True,
+        # VOC protocol: train without difficult boxes (reference build
+        # behavior), evaluate with them flagged (they match neither TP
+        # nor FN)
+        "keep_difficult": {"trainval": False, "test": True},
         "classes": {"original": CLASSES, "map": CLASSES},
         "extention_names": {"image": ["jpg"], "annotation": ["xml"]},
         "model_config_path": f"{root}/model_config.yaml",
