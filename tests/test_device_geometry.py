@@ -127,6 +127,61 @@ def test_compose_inactive_tiles_are_ignored(rng):
     assert np.array_equal(np.asarray(out[0]), img.astype(np.float32))
 
 
+def test_compose_degenerate_rects_are_finite(rng):
+    """An expand-crop that misses the source entirely (no boxes to anchor
+    it) produces zero-area src/dst rects — the compose must yield pure
+    fill, never NaN (guarded denominators in the weight matrices)."""
+    S = 16
+    img = rng.integers(0, 255, (S, S, 3), np.uint8)
+    src = FULL.copy()
+    dst = FULL.copy()
+    src[0] = [0.4, 0.4, 0.4, 0.4]   # zero-area
+    dst[0] = [0.7, 0.7, 0.7, 0.7]
+    out = np.asarray(geometric_compose(*_compose_args(
+        _one_slot(img, S), src, dst, FULL,
+        np.full((4, 3), 100.0, np.float32), OFF4, OFF4, ACT1), (S, S))[0])
+    assert np.isfinite(out).all()
+    assert np.allclose(out, 100.0)  # fill everywhere, empty paste
+
+
+def test_multi_host_geometry_plan_lockstep(tmp_path, rng):
+    """Every host derives the same geometry epoch plan and takes its
+    contiguous slice: per-host batches concatenate into the single-host
+    global batch (same out sizes, same compose parameters)."""
+    from mobilenet_yolo_tpu.data.pipeline import DetectionDataset, Loader
+    from mobilenet_yolo_tpu.data.records import RecordReader
+
+    d = _make_shard(tmp_path, rng)
+
+    def batches(p_idx, n_proc):
+        ds = DetectionDataset(RecordReader(d), phase="train",
+                              apply_noise=False, apply_photometric=False)
+        ld = Loader(ds, 4, [[64, 64], [96, 96]], [0.5] * 3, [1.0] * 3,
+                    mosaic_num=[1, 2], max_gt=10, prefetch=0,
+                    device_geometry=True, stage_size=64, seed=3,
+                    shard_by_process=True)
+        ld._process_slice = lambda: (p_idx, n_proc)
+        ld.epoch = 1  # fixed epoch => identical plan across "hosts"
+        return list(ld._epoch_batches())
+
+    single = batches(0, 1)
+    h0 = batches(0, 2)
+    h1 = batches(1, 2)
+    assert len(single) == len(h0) == len(h1) > 0
+    for sb, a, b in zip(single, h0, h1):
+        # lockstep output sizes; each host holds half the group batch
+        assert a["out_size"] == b["out_size"] == sb["out_size"]
+        assert a["slots"].shape[0] == b["slots"].shape[0] == 2
+        assert sb["slots"].shape[0] == 4
+        # host 0's slice is a same-rng prefix of the single-host batch
+        # (per-batch rng is keyed by (seed, epoch, p_idx, batch_idx) and
+        # host 0 plans the same leading groups)
+        np.testing.assert_array_equal(a["gt"], sb["gt"][:2])
+        np.testing.assert_array_equal(a["src_rect"], sb["src_rect"][:2])
+        np.testing.assert_array_equal(
+            a["slots"][a["active"]], sb["slots"][:2][sb["active"][:2]])
+
+
 # --------------------------------------------------- seg target compose
 
 
