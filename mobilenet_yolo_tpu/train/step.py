@@ -247,6 +247,10 @@ def make_geometry_train_step(model, config: dict,
             n_data = 13
 
         if mesh is not None:
+            if mesh.shape.get("model", 1) > 1:
+                # tensor-parallel state: placements are set on the arrays
+                # (parallel/sharding.py) and propagate through jit
+                return jax.jit(step, donate_argnums=(0,))
             repl = replicated(mesh)
             data = batch_sharding(mesh)
             in_sh = (repl,) + (data,) * n_data + (repl,)
