@@ -67,6 +67,12 @@ def get_params(argv=None):
                              " (~5x host pipeline speedup on slow hosts)."
                              " Seg datasets: /16 targets rasterize on"
                              " device too")
+    parser.add_argument("-j", "--num-workers", default=0, type=int,
+                        help="input-pipeline worker processes (the"
+                             " reference's DataLoader num_workers=4,"
+                             " train.py:115-121). 0 = in-process loader"
+                             " with a prefetch thread; >0 uses the"
+                             " grain-backed loader with N workers")
     parser.add_argument("--stage-size", default=0, type=int,
                         help="staging square for --device-geometry sources;"
                              " 0 (default) = adaptive: stage at each"
@@ -202,12 +208,19 @@ def main(args):
 
         # construct ONCE: Loader.__iter__ advances its epoch counter, which
         # reseeds the shuffle/augmentation plan every epoch
-        train_loader_obj = Loader(train_ds, bs, model_cfg["train_img_size"],
-                                  norm["mean"], norm["std"],
-                                  mosaic_num=model_cfg["mosaic_num"],
-                                  output_uint8=device_normalize,
-                                  device_geometry=device_geometry,
-                                  stage_size=args.stage_size)
+        loader_cls = Loader
+        loader_kw = {}
+        if args.num_workers > 0:
+            from mobilenet_yolo_tpu.data.grain_pipeline import GrainLoader
+            loader_cls = GrainLoader
+            loader_kw = {"num_workers": args.num_workers}
+        train_loader_obj = loader_cls(
+            train_ds, bs, model_cfg["train_img_size"],
+            norm["mean"], norm["std"],
+            mosaic_num=model_cfg["mosaic_num"],
+            output_uint8=device_normalize,
+            device_geometry=device_geometry,
+            stage_size=args.stage_size, **loader_kw)
         eval_loader_obj = Loader(test_ds, bs,
                                  [[model_cfg["img_w"], model_cfg["img_h"]]],
                                  norm["mean"], norm["std"], shuffle=False,
