@@ -167,6 +167,9 @@ def main(args):
         trainer.maybe_resume()
 
     if args.synthetic:
+        if args.num_workers > 0:
+            print("note: --num-workers is ignored with --synthetic "
+                  "(generated batches need no loader workers)")
         from mobilenet_yolo_tpu.data.synthetic import synthetic_batches
         bs = model_cfg["batch_size"]
         epoch_counter = {"n": 0}

@@ -29,6 +29,25 @@ from mobilenet_yolo_tpu.train.state import TrainState
 HEAD_KEYS = ("out0", "out1")
 
 
+def _mesh_jit(step, mesh, n_data: int, n_trailing_repl: int = 0,
+              donate: bool = True):
+    """jit a step function over a mesh.
+
+    Args after the state: ``n_data`` batch arrays (sharded over the
+    ``data`` axis) then ``n_trailing_repl`` replicated scalars/keys; the
+    state itself and all outputs are replicated. Under a tensor-parallel
+    mesh (``model`` axis > 1) the state placements set by
+    parallel/sharding.py propagate through a plain jit instead.
+    """
+    kw = {"donate_argnums": (0,)} if donate else {}
+    if mesh.shape.get("model", 1) > 1:
+        return jax.jit(step, **kw)
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    in_sh = (repl,) + (data,) * n_data + (repl,) * n_trailing_repl
+    return jax.jit(step, in_shardings=in_sh, out_shardings=repl, **kw)
+
+
 def make_loss_fn(model, config: dict, segmentation: bool = False,
                  normalize: bool = False) -> Callable:
     """Pure loss over (params, batch_stats, batch) -> (loss, aux).
@@ -153,21 +172,8 @@ def make_train_step(
             return core(state, images, gt, n_gt, None, None)
 
     if mesh is not None:
-        if mesh.shape.get("model", 1) > 1:
-            # tensor-parallel state: placements are set on the arrays
-            # (parallel/sharding.py) and propagate through jit
-            return jax.jit(step, donate_argnums=(0,))
-        repl = replicated(mesh)
-        data = batch_sharding(mesh)
-        in_sh = (repl, data, data, data) \
-            + ((data,) if segmentation else ()) \
-            + ((repl,) if pixel_aug else ())
-        return jax.jit(
-            step,
-            in_shardings=in_sh,
-            out_shardings=(repl, repl),
-            donate_argnums=(0,),
-        )
+        return _mesh_jit(step, mesh, n_data=3 + int(segmentation),
+                         n_trailing_repl=int(pixel_aug))
     return jax.jit(step, donate_argnums=(0,))
 
 
@@ -247,15 +253,7 @@ def make_geometry_train_step(model, config: dict,
             n_data = 13
 
         if mesh is not None:
-            if mesh.shape.get("model", 1) > 1:
-                # tensor-parallel state: placements are set on the arrays
-                # (parallel/sharding.py) and propagate through jit
-                return jax.jit(step, donate_argnums=(0,))
-            repl = replicated(mesh)
-            data = batch_sharding(mesh)
-            in_sh = (repl,) + (data,) * n_data + (repl,)
-            return jax.jit(step, in_shardings=in_sh,
-                           out_shardings=(repl, repl), donate_argnums=(0,))
+            return _mesh_jit(step, mesh, n_data=n_data, n_trailing_repl=1)
         return jax.jit(step, donate_argnums=(0,))
 
     cache: dict = {}
@@ -281,12 +279,6 @@ def make_eval_step(model, config: dict, segmentation: bool = False,
         return metrics
 
     if mesh is not None:
-        repl = replicated(mesh)
-        data = batch_sharding(mesh)
-        in_sh = (repl, data, data, data) + ((data,) if segmentation else ())
-        return jax.jit(
-            step,
-            in_shardings=in_sh,
-            out_shardings=repl,
-        )
+        return _mesh_jit(step, mesh, n_data=3 + int(segmentation),
+                         donate=False)
     return jax.jit(step)
