@@ -115,24 +115,49 @@ def _hsv_to_rgb(hsv):
     return out
 
 
-def photometric_distort(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Each distortion with p=0.5 in random order (reference :169-198)."""
-    img = img.astype(np.float32)
-    ops = ["brightness", "contrast", "saturation", "hue", "gamma"]
+PHOTOMETRIC_OPS = ("brightness", "contrast", "saturation", "hue", "gamma")
+_PHOTOMETRIC_FNS = (adjust_brightness, adjust_contrast, adjust_saturation,
+                    adjust_hue, adjust_gamma)
+
+
+def sample_photometric(rng: np.random.Generator):
+    """Pixel-free sampler for :func:`photometric_distort` — the same draws
+    in the same order (shuffle, then per shuffled op: p=0.5 gate, then the
+    factor only when applied), so the device-geometry planner samples the
+    EXACT host/reference distribution (reference :169-198).
+
+    Returns ``(op_ids, factors)``: (5,) int32 op index per program step
+    (-1 = identity at that step) and (5,) f32 factor (hue: the delta).
+    """
+    ops = list(PHOTOMETRIC_OPS)
     rng.shuffle(ops)
-    for op in ops:
+    op_ids = np.full(5, -1, np.int32)
+    factors = np.ones(5, np.float32)
+    for t, op in enumerate(ops):
         if rng.random() >= 0.5:
             continue
+        op_ids[t] = PHOTOMETRIC_OPS.index(op)
         if op == "hue":
-            delta = rng.uniform(-18 / 255.0, 18 / 255.0)
-            img = adjust_hue(img, delta)
+            factors[t] = rng.uniform(-18 / 255.0, 18 / 255.0)
         else:
-            factor = rng.uniform(0.5, 1.5)
-            img = {"brightness": adjust_brightness,
-                   "contrast": adjust_contrast,
-                   "saturation": adjust_saturation,
-                   "gamma": adjust_gamma}[op](img, factor)
-    return img.astype(np.uint8)
+            factors[t] = rng.uniform(0.5, 1.5)
+    return op_ids, factors
+
+
+def apply_photometric(img: np.ndarray, op_ids: np.ndarray,
+                      factors: np.ndarray) -> np.ndarray:
+    """Apply a sampled photometric program to a float [0,255] image."""
+    for t in range(len(op_ids)):
+        if op_ids[t] >= 0:
+            img = _PHOTOMETRIC_FNS[op_ids[t]](img, float(factors[t]))
+    return img
+
+
+def photometric_distort(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Each distortion with p=0.5 in random order (reference :169-198)."""
+    op_ids, factors = sample_photometric(rng)
+    return apply_photometric(img.astype(np.float32), op_ids,
+                             factors).astype(np.uint8)
 
 
 # ------------------------------------------------------------- pixel noise

@@ -70,6 +70,10 @@ class GroupPlan:
     noise_gate: np.ndarray   # (MAX_TILES,) bool: device adds gaussian noise
     noise_scale: np.ndarray  # (MAX_TILES,) f32 noise stddev in [0, 255] units
     noise_per_channel: np.ndarray  # (MAX_TILES,) bool
+    jitter_op: np.ndarray    # (MAX_TILES, 5) int32 photometric program
+    #                          (op id per step, -1 = identity; device
+    #                          applies in this host-shuffled order)
+    jitter_factor: np.ndarray  # (MAX_TILES, 5) f32 factors (hue: delta)
     labels: np.ndarray       # (n, 6) normalized (cls, cx, cy, w, h, difficult)
     seg_staged: list | None = None  # staged (S, S) uint8 id maps (singles)
     seg_active: np.ndarray | None = None  # (MAX_TILES,) bool
@@ -155,11 +159,20 @@ class GeometryPlanner:
     def __init__(self, stage_size: int | None = 448,
                  expand_scale: float = 1.5,
                  mean=(0.5, 0.5, 0.5), apply_noise: bool = True,
+                 apply_photometric: bool = True,
                  mosaic_canvas=(1000, 1000)):
         self.stage_size = int(stage_size or 0)
         self.expand_scale = float(expand_scale)
         self.mean = np.asarray(mean, np.float32)
         self.apply_noise = apply_noise
+        # photometric planning: sample the per-source op ORDER + gates +
+        # factors here (augment.sample_photometric — the host pixel path's
+        # own sampler, drawn at the exact position transform_od draws them:
+        # after pixel noise, before the expand gate) and apply them on
+        # device (ops/device_augment.py:planned_color_jitter). This gives
+        # the device path the reference's shuffled-order distribution,
+        # not the fixed-order simplification of the standalone color_jitter.
+        self.apply_photometric = apply_photometric
         self.mosaic_canvas = tuple(mosaic_canvas)
 
     def _stage(self, img: np.ndarray, rng: np.random.Generator, plan,
@@ -191,6 +204,8 @@ class GeometryPlanner:
             noise_gate=np.zeros((t,), bool),
             noise_scale=np.zeros((t,), np.float32),
             noise_per_channel=np.zeros((t,), bool),
+            jitter_op=np.full((t, 5), -1, np.int32),
+            jitter_factor=np.ones((t, 5), np.float32),
             labels=np.zeros((0, 6), np.float32),
             seg_staged=[],
             seg_active=np.zeros((t,), bool),
@@ -212,8 +227,12 @@ class GeometryPlanner:
             img, boxes, cls, diff = sources[0][:4]
             seg = sources[0][4] if len(sources[0]) > 4 else None
             h, w = img.shape[:2]
-            # draw order matches DetectionDataset.get_single: noise first
+            # draw order matches DetectionDataset.get_single: noise first,
+            # then transform_od's photometric, then the geometric gates
             self._stage(img, rng, plan, 0, s)
+            if self.apply_photometric:
+                plan.jitter_op[0], plan.jitter_factor[0] = \
+                    augment.sample_photometric(rng)
             if seg is not None:
                 import cv2
                 # NEAREST keeps class ids intact; same tile rects apply
@@ -240,6 +259,9 @@ class GeometryPlanner:
             img, boxes, cls, diff = src[:4]
             h, w = img.shape[:2]
             self._stage(img, rng, plan, k, s)
+            if self.apply_photometric:
+                plan.jitter_op[k], plan.jitter_factor[k] = \
+                    augment.sample_photometric(rng)
             src, dst, flip, (cw, ch), rows = plan_source_geometry(
                 h, w, boxes, cls, diff, rng, self.expand_scale,
                 allow_expand=False)

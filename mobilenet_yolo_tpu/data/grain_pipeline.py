@@ -34,6 +34,7 @@ class GrainLoader(Loader):
         import grain
 
         plan, p_idx = self._sharded_plan()
+        skip, self._skip_batches = self._skip_batches, 0
         seed, epoch = self.seed, self.epoch
 
         def load(entry):
@@ -52,7 +53,11 @@ class GrainLoader(Loader):
             samples = [self.ds.get_group(g, b_rng) for g in groups]
             return self._collate(samples, size_idx)
 
-        ds = grain.MapDataset.source(list(enumerate(plan))).map(load)
+        # mid-epoch resume: drop already-consumed plan entries (batch rng
+        # is index-keyed, so the remainder is bit-identical to the
+        # uninterrupted run)
+        ds = grain.MapDataset.source(
+            list(enumerate(plan))[skip:]).map(load)
         it = ds.to_iter_dataset()
         if self.num_workers:
             it = it.mp_prefetch(

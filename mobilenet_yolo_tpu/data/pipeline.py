@@ -202,9 +202,18 @@ class Loader:
             # stage_size None = adaptive: stage each batch's sources at its
             # output resolution (same effective resolution as the host
             # path, ~40% fewer host->device bytes than a fixed 448)
+            # fill color is the FIXED 0.5 gray of the host transform chain
+            # (get_single -> transform_od(mean=(0.5, 0.5, 0.5)), mirroring
+            # reference folder2lmdb.py:135) — NOT the config's normalize
+            # mean, which may differ (e.g. ImageNet) and would silently
+            # diverge the device path's expand filler from the host path
+            # photometric runs on device whenever the host dataset is not
+            # applying it (the normal geometry-mode config): the planner
+            # samples each source's op order + factors host-side
             self.planner = GeometryPlanner(
                 stage_size=stage_size, expand_scale=dataset.expand_scale,
-                mean=mean, apply_noise=dataset.apply_noise)
+                mean=(0.5, 0.5, 0.5), apply_noise=dataset.apply_noise,
+                apply_photometric=not dataset.apply_photometric)
             # ring of reusable slot buffers: fresh 4*S^2*3-per-sample
             # allocations fault in new kernel pages every batch (~200 ms
             # at this host's 0.4 GB/s); recycling buffers makes the write
@@ -234,6 +243,27 @@ class Loader:
             shard_by_process = jax.process_count() > 1
         self.shard_by_process = shard_by_process
         self.epoch = 0
+        self._skip_batches = 0
+
+    # --------------------------------------------------- resume plumbing --
+    # The epoch plan is a pure function of (seed, epoch) and each batch's
+    # augmentation rng is keyed by its batch INDEX, so mid-epoch resume is
+    # exact: set_epoch aligns the plan with the interrupted run and
+    # set_skip drops the already-consumed plan entries without decoding
+    # them — the remaining batches are bit-for-bit the ones the
+    # uninterrupted run would have produced (tests/test_checkpoints.py).
+
+    def set_epoch(self, epoch: int) -> None:
+        """Align the internal epoch counter so the NEXT iteration derives
+        the plan the uninterrupted run would use for training epoch
+        ``epoch`` (the Trainer calls this every epoch; __iter__ advances
+        the counter first, so pass the 0-based training epoch)."""
+        self.epoch = int(epoch)
+
+    def set_skip(self, n_batches: int) -> None:
+        """Skip the first ``n_batches`` plan entries of the NEXT iteration
+        (one-shot). Skipped batches are never decoded."""
+        self._skip_batches = int(n_batches)
 
     def _process_slice(self) -> tuple[int, int]:
         if not self.shard_by_process:
@@ -346,6 +376,8 @@ class Loader:
             "noise_scale": np.stack([p.noise_scale for p in plans]),
             "noise_per_channel": np.stack([p.noise_per_channel
                                            for p in plans]),
+            "jitter_op": np.stack([p.jitter_op for p in plans]),
+            "jitter_factor": np.stack([p.jitter_factor for p in plans]),
             "out_size": (h, w),
         }
         if seg_slots is not None:
@@ -401,7 +433,10 @@ class Loader:
 
     def _epoch_batches(self) -> Iterator[dict]:
         plan, p_idx = self._sharded_plan()
+        skip, self._skip_batches = self._skip_batches, 0
         for batch_idx, (batch_groups, size_idx) in enumerate(plan):
+            if batch_idx < skip:
+                continue
             # per-batch rng: independent of how many batches other hosts
             # or earlier batches consumed
             b_rng = np.random.default_rng(

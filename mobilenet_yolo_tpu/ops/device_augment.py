@@ -11,11 +11,14 @@ Cost model: on the 1-core host these ops are ~7 ms/image of the ~16 ms
 budget (PERF.md); on device they fuse into the normalize pass for free.
 
 Distribution notes vs the host path:
-* each op still applies with p=0.5 and the same factor ranges
+* each op applies with p=0.5 and the same factor ranges
   (brightness/contrast/saturation/gamma U(0.5,1.5), hue U(-18,18)/255);
-* op ORDER is fixed (brightness, contrast, saturation, hue, gamma) rather
-  than shuffled per image — a jit-friendly simplification, documented here
-  deliberately; per-op application is still independent per image.
+* the geometry train path uses :func:`planned_color_jitter`, whose op
+  ORDER (and every factor) is host-sampled per image by the planner via
+  the host path's own sampler (data/augment.py:sample_photometric) — the
+  exact reference distribution including the per-image shuffle. Only the
+  standalone :func:`color_jitter` (serving / --device-pixel-aug) keeps a
+  fixed order as a documented key-driven simplification.
 * gaussian noise matches imgaug AdditiveGaussianNoise(scale U(0, 0.03*255),
   per_channel p=0.3); blur/median/sharpen stay host-side (rarely the
   bottleneck once cv2-backed).
@@ -100,6 +103,86 @@ def color_jitter(images: jax.Array, key: jax.Array) -> jax.Array:
     return x
 
 
+def planned_color_jitter(images: jax.Array, op_ids: jax.Array,
+                         factors: jax.Array) -> jax.Array:
+    """Host-PLANNED photometric distortion: exact reference semantics
+    including the per-image random op ORDER (image_augmentation.py:169-198
+    shuffles the five ops per image; the standalone :func:`color_jitter`
+    fixes the order as a documented serving-path simplification).
+
+    images (N, H, W, 3) uint8/f32 in [0, 255]; op_ids (N, 5) int32 — the
+    op index applied at each of the 5 program steps (-1 = identity);
+    factors (N, 5) f32 (hue: the delta in revolutions). Both come from
+    ``data/augment.py:sample_photometric`` (the SAME sampler the host
+    pixel path uses, so the distributions agree draw-for-draw). Returns
+    f32 in [0, 255], clipped after every op like the host's ``_blend``.
+
+    Cost: every candidate op is elementwise, so XLA fuses each program
+    step into ~one memory pass — but the hue candidate's HSV round-trip
+    dominated a naive 5-step select chain (~12.5 of 17 ms at 128x352² on
+    v5e). Since each op appears at most ONCE per program, the program is
+    split at the hue position — (non-hue ops before hue), hue, (non-hue
+    ops after) — so hue's round-trip runs exactly once: two fori_loop
+    phases of 4 cheap (brightness/contrast/saturation/gamma) select steps
+    around one masked hue step (~9 ms net). The loop (not an unrolled
+    chain) is deliberate: unrolling the fanout-4 select steps triggers
+    XLA's exponential fusion duplication and measured 13x SLOWER. The
+    split is derived here from the same (N, 5) program arrays; callers
+    and the planner are unaffected.
+    """
+    x = images.astype(jnp.float32)
+    n, steps = op_ids.shape
+
+    is_hue = op_ids == 3
+    hue_gate = is_hue.any(axis=1)
+    hue_step = jnp.argmax(is_hue, axis=1)          # first (only) hue slot
+    hue_delta = jnp.take_along_axis(factors, hue_step[:, None], axis=1)[:, 0]
+    pos = jnp.arange(steps)[None, :]
+    # phase membership of each non-hue op: before or after the hue slot
+    # (no hue -> everything is "before"); compact each phase's ops to the
+    # front, preserving order, via a stable argsort on selection keys
+    live = (op_ids >= 0) & ~is_hue
+
+    def compact(selected):
+        key = jnp.where(selected, pos, steps + pos)  # selected first, in order
+        order = jnp.argsort(key, axis=1)
+        ops = jnp.take_along_axis(
+            jnp.where(selected, op_ids, -1), order, axis=1)
+        fac = jnp.take_along_axis(
+            jnp.where(selected, factors, 1.0), order, axis=1)
+        return ops[:, :steps - 1], fac[:, :steps - 1]
+
+    pre_ops, pre_f = compact(live & (~hue_gate[:, None]
+                                     | (pos < hue_step[:, None])))
+    post_ops, post_f = compact(live & hue_gate[:, None]
+                               & (pos > hue_step[:, None]))
+
+    def cheap_phase(x, ops, facs):
+        def body(t, x):
+            op = jax.lax.dynamic_index_in_dim(
+                ops, t, axis=1, keepdims=False)[:, None, None, None]
+            f = jax.lax.dynamic_index_in_dim(
+                facs, t, axis=1, keepdims=False)[:, None, None, None]
+            xb = jnp.clip(x * f, 0.0, 255.0)
+            mean = _luma(x).mean(axis=(1, 2))[:, None, None, None]
+            xc = jnp.clip(mean + f * (x - mean), 0.0, 255.0)
+            gray = _luma(x)[..., None]
+            xs = jnp.clip(gray + f * (x - gray), 0.0, 255.0)
+            xg = jnp.clip((x / 255.0) ** f * 255.0, 0.0, 255.0)
+            return jnp.where(op == 0, xb,
+                   jnp.where(op == 1, xc,
+                   jnp.where(op == 2, xs,
+                   jnp.where(op == 4, xg, x))))
+        return jax.lax.fori_loop(0, ops.shape[1], body, x)
+
+    x = cheap_phase(x, pre_ops, pre_f)
+    h, s, v = _rgb_to_hsv(x / 255.0)
+    xh = jnp.clip(_hsv_to_rgb(
+        (h + hue_delta[:, None, None]) % 1.0, s, v) * 255.0, 0.0, 255.0)
+    x = jnp.where(hue_gate[:, None, None, None], xh, x)
+    return cheap_phase(x, post_ops, post_f)
+
+
 def additive_noise(images: jax.Array, key: jax.Array) -> jax.Array:
     """imgaug AdditiveGaussianNoise: scale U(0, 0.03*255) per image,
     per-channel draws with p=0.3, applied with p=0.5 (the Sometimes gate
@@ -140,31 +223,56 @@ def device_pixel_aug(images: jax.Array, key: jax.Array) -> jax.Array:
 # (4 tiles + per-tile mean fill) — the whole geometric pipeline of
 # reference utils/image_augmentation.py:14-166,199-278 as ONE jitted pass.
 #
-# Resampling is bilinear with edge clamp via per-dimension weight matrices
-# (two matmuls per tile — MXU work, exactly cv2.INTER_LINEAR semantics;
-# jax.image.scale_and_translate is NOT used because it zero-fills samples
-# that straddle the source border, leaving dark fringes at tile edges).
+# Resampling is bilinear with edge clamp, exactly cv2.INTER_LINEAR
+# semantics, via a separable TWO-TAP gather+lerp per axis (each output
+# pixel reads its two straddling source rows/columns). A dense (out, in)
+# weight-matrix einsum computes the identical map but at ~2 GFLOP/image —
+# the cost of the whole model forward — because the matrix has only two
+# non-zero entries per row; the gather form is pure bandwidth (~100x fewer
+# FLOPs) and cut the geometry train step's compose overhead from ~54 ms to
+# single-digit ms at batch 32/352 (PERF.md). jax.image.scale_and_translate
+# is NOT used because it zero-fills samples that straddle the source
+# border, leaving dark fringes at tile edges.
 
 
-def _axis_weights(out_size: int, in_size: int, src0, src1, dst0, dst1):
-    """(out_size, in_size) bilinear weight matrix mapping the source span
-    [src0, src1) (continuous pixels) onto the output span [dst0, dst1).
-
-    Output pixels outside the destination span get garbage rows (they are
-    masked away by the caller); inside, sample positions are edge-clamped
+def _axis_taps(out_size: int, in_size: int, src0, src1, dst0, dst1):
+    """Two-tap bilinear sampling along one axis: per output pixel the two
+    straddling source indices (i0, i1) and the lerp fraction, mapping the
+    source span [src0, src1) (continuous pixels) onto the output span
+    [dst0, dst1). Output pixels outside the destination span get clamped
+    (masked away by the caller); inside, sample positions are edge-clamped
     like cv2. All span endpoints may be traced scalars."""
     denom = jnp.maximum(dst1 - dst0, 1e-6)
     o = jnp.arange(out_size, dtype=jnp.float32)
     u = src0 + (o + 0.5 - dst0) * (src1 - src0) / denom  # continuous coord
     u = jnp.clip(u - 0.5, 0.0, in_size - 1.0)            # index coord
-    i0 = jnp.floor(u)
-    frac = u - i0
-    i0 = i0.astype(jnp.int32)
+    i0f = jnp.floor(u)
+    frac = u - i0f
+    i0 = i0f.astype(jnp.int32)
     i1 = jnp.minimum(i0 + 1, in_size - 1)
-    idx = jnp.arange(in_size, dtype=jnp.int32)
-    w = ((idx[None, :] == i0[:, None]) * (1.0 - frac)[:, None]
-         + (idx[None, :] == i1[:, None]) * frac[:, None])
-    return w
+    return i0, i1, frac
+
+
+def _resample_bilinear(img, sr, dr, out_h: int, out_w: int, flip=None):
+    """(out_h, out_w, 3) bilinear resample of img's src window ``sr`` onto
+    the dst rect ``dr`` (both normalized [x1,y1,x2,y2]); rows/cols outside
+    the dst rect hold edge-clamped garbage the caller masks away.
+
+    ``flip`` (traced bool): sample the horizontally-mirrored image — folded
+    into the x gather indices (img_flipped[i] == img[W-1-i]) instead of
+    materializing a flipped copy per tile."""
+    s_h, s_w = img.shape[0], img.shape[1]
+    iy0, iy1, fy = _axis_taps(out_h, s_h, sr[1] * s_h, sr[3] * s_h,
+                              dr[1] * out_h, dr[3] * out_h)
+    ix0, ix1, fx = _axis_taps(out_w, s_w, sr[0] * s_w, sr[2] * s_w,
+                              dr[0] * out_w, dr[2] * out_w)
+    if flip is not None:
+        ix0 = jnp.where(flip, s_w - 1 - ix0, ix0)
+        ix1 = jnp.where(flip, s_w - 1 - ix1, ix1)
+    rows = (img[iy0] * (1.0 - fy)[:, None, None]
+            + img[iy1] * fy[:, None, None])              # (out_h, s_w, 3)
+    return (rows[:, ix0] * (1.0 - fx)[None, :, None]
+            + rows[:, ix1] * fx[None, :, None])          # (out_h, out_w, 3)
 
 
 def _rect_mask(rect, out_h: int, out_w: int):
@@ -184,24 +292,24 @@ def _compose_one(slots, src_rect, dst_rect, fill_rect, fill_color,
     out = jnp.zeros((out_h, out_w, 3), jnp.float32)
     for k in range(slots.shape[0]):
         img = slots[k].astype(jnp.float32)
-        img = jnp.where(flip[k], img[:, ::-1], img)
         sr, dr = src_rect[k], dst_rect[k]
         # per-tile mean fill (mosaic): mean of the source window of the
         # (jittered, flipped) slot — reference :268 uses the resized
-        # source's mean, which bilinear resampling preserves
-        smask = _rect_mask(sr, s_h, s_w)[..., None]
+        # source's mean, which bilinear resampling preserves. The rects
+        # arrive pre-mirrored for flipped tiles, so the window mean over
+        # the UNFLIPPED slot uses the mirrored rect.
+        sr_mask = jnp.where(flip[k],
+                            jnp.stack([1.0 - sr[2], sr[1],
+                                       1.0 - sr[0], sr[3]]), sr)
+        smask = _rect_mask(sr_mask, s_h, s_w)[..., None]
         cnt = jnp.maximum(smask.sum(), 1.0)
         src_mean = (img * smask).sum(axis=(0, 1)) / cnt
         fcol = jnp.where(fill_from_mean[k], src_mean, fill_color[k])
         fmask = _rect_mask(fill_rect[k], out_h, out_w) & active[k]
         out = jnp.where(fmask[..., None], fcol, out)
         # paste: bilinear resample of the source window into the dst rect
-        wy = _axis_weights(out_h, s_h, sr[1] * s_h, sr[3] * s_h,
-                           dr[1] * out_h, dr[3] * out_h)
-        wx = _axis_weights(out_w, s_w, sr[0] * s_w, sr[2] * s_w,
-                           dr[0] * out_w, dr[2] * out_w)
-        res = jnp.einsum("oi,ijc->ojc", wy, img)
-        res = jnp.einsum("pj,ojc->opc", wx, res)
+        # (flip folded into the gather indices)
+        res = _resample_bilinear(img, sr, dr, out_h, out_w, flip=flip[k])
         pmask = _rect_mask(dr, out_h, out_w) & active[k]
         out = jnp.where(pmask[..., None], res, out)
     return out
@@ -218,9 +326,21 @@ def slot_noise(slots, key, gate, scale, per_channel) -> jax.Array:
     scale (B, T) f32 in [0, 255] units. Returns f32 [0, 255].
     """
     x = slots.astype(jnp.float32)
-    k3, k1 = jax.random.split(key)
-    n3 = jax.random.normal(k3, x.shape)
-    n1 = jax.random.normal(k1, x.shape[:-1])[..., None]
+    # draw the ~600k gaussians/image with the fast rbg bit generator
+    # instead of threefry (1.5x cheaper here; augmentation noise needs
+    # bulk statistical quality, not counter-stable streams — the key
+    # still derives deterministically from the trainer's fold_in chain)
+    kd = jax.random.key_data(key)
+    if kd.shape[-1] == 2:   # threefry key from the caller -> rbg key
+        key = jax.random.wrap_key_data(
+            jnp.concatenate([kd, kd], axis=-1).astype(jnp.uint32),
+            impl="unsafe_rbg")
+    n3 = jax.random.normal(key, x.shape)
+    # shared-plane draw: channel 0 of the per-channel field doubles as the
+    # per-pixel plane (each slot takes exactly one branch, so the reuse
+    # never correlates values within an output; halves the RNG bill, the
+    # biggest remaining compute in the pre-compose stage)
+    n1 = n3[..., :1]
     pc = per_channel[:, :, None, None, None]
     g = gate[:, :, None, None, None]
     noise = jnp.where(pc, n3, n1) * scale[:, :, None, None, None]
@@ -287,23 +407,27 @@ def seg_compose(seg_slots, src_rect, dst_rect, flip, seg_active,
 
 def geometric_compose(slots, src_rect, dst_rect, fill_rect, fill_color,
                       fill_from_mean, flip, active, out_hw,
-                      jitter_key=None) -> jax.Array:
+                      jitter_op=None, jitter_factor=None) -> jax.Array:
     """Batched device-side geometric augmentation.
 
     slots (B, 4, S, S, 3) uint8 staged sources; rects (B, 4, 4) f32
     normalized; fill_color (B, 4, 3) raw [0,255]; fill_from_mean / flip /
     active (B, 4) bool; out_hw static (H, W).
 
-    With ``jitter_key``, photometric color jitter runs per SOURCE before
-    composition (the reference jitters each mosaic source independently,
-    transform_od :279-334 applied per image in folder2lmdb.py:131-135).
+    With ``jitter_op``/``jitter_factor`` ((B, 4, 5) host-planned
+    photometric programs, data/geometry.py), the color jitter runs per
+    SOURCE before composition in the host-shuffled per-image op order (the
+    reference jitters each mosaic source independently, transform_od
+    :279-334 applied per image in folder2lmdb.py:131-135, with the op
+    order shuffled per image, image_augmentation.py:169-198).
     Returns (B, H, W, 3) float32 in [0, 255].
     """
     b, t = slots.shape[0], slots.shape[1]
-    if jitter_key is not None:
+    if jitter_op is not None:
         s = slots.shape[2:]
         flat = slots.reshape((b * t,) + s)
-        flat = color_jitter(flat, jitter_key)
+        flat = planned_color_jitter(flat, jitter_op.reshape(b * t, -1),
+                                    jitter_factor.reshape(b * t, -1))
         slots = flat.reshape((b, t) + s)
     out_h, out_w = int(out_hw[0]), int(out_hw[1])
     return jax.vmap(

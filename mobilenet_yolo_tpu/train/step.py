@@ -179,7 +179,8 @@ def make_train_step(
 
 GEOMETRY_BATCH_KEYS = ("slots", "src_rect", "dst_rect", "fill_rect",
                        "fill_color", "fill_from_mean", "flip", "active",
-                       "noise_gate", "noise_scale", "noise_per_channel")
+                       "noise_gate", "noise_scale", "noise_per_channel",
+                       "jitter_op", "jitter_factor")
 
 
 def make_geometry_train_step(model, config: dict,
@@ -188,7 +189,7 @@ def make_geometry_train_step(model, config: dict,
     """Train step with the WHOLE augmentation pipeline on device.
 
     Returns ``step(state, *geom_arrays, gt, n_gt, aug_key, out_hw=(H, W))``
-    where ``geom_arrays`` are the 8 GEOMETRY_BATCH_KEYS arrays produced by
+    where ``geom_arrays`` are the GEOMETRY_BATCH_KEYS arrays produced by
     ``Loader(device_geometry=True)`` — plus ``(seg_slots, seg_active)``
     after them when ``segmentation`` is on (the /16 training targets are
     then rasterized on device too, ops/device_augment.py:seg_compose).
@@ -209,16 +210,18 @@ def make_geometry_train_step(model, config: dict,
     def build(out_hw):
         def core(state, slots, src_rect, dst_rect, fill_rect, fill_color,
                  fill_from_mean, flip, active, noise_gate, noise_scale,
-                 noise_per_channel, gt, n_gt, aug_key,
-                 seg_slots=None, seg_active=None):
-            k_noise, k_jitter = jax.random.split(aug_key)
+                 noise_per_channel, jitter_op, jitter_factor, gt, n_gt,
+                 aug_key, seg_slots=None, seg_active=None):
             # noise before jitter: the reference applies the imgaug seq
-            # before transform_od's photometric (folder2lmdb.py:131-135)
-            slots = slot_noise(slots, k_noise, noise_gate, noise_scale,
+            # before transform_od's photometric (folder2lmdb.py:131-135);
+            # the jitter itself is fully host-planned (op order + factors,
+            # data/geometry.py), so aug_key only feeds the noise draw
+            slots = slot_noise(slots, aug_key, noise_gate, noise_scale,
                                noise_per_channel)
             images = geometric_compose(
                 slots, src_rect, dst_rect, fill_rect, fill_color,
-                fill_from_mean, flip, active, out_hw, jitter_key=k_jitter)
+                fill_from_mean, flip, active, out_hw,
+                jitter_op=jitter_op, jitter_factor=jitter_factor)
             seg_maps = None
             if segmentation:
                 seg_maps = seg_compose(
@@ -235,22 +238,25 @@ def make_geometry_train_step(model, config: dict,
         if segmentation:
             def step(state, slots, src_rect, dst_rect, fill_rect,
                      fill_color, fill_from_mean, flip, active, noise_gate,
-                     noise_scale, noise_per_channel, seg_slots, seg_active,
+                     noise_scale, noise_per_channel, jitter_op,
+                     jitter_factor, seg_slots, seg_active,
                      gt, n_gt, aug_key):
                 return core(state, slots, src_rect, dst_rect, fill_rect,
                             fill_color, fill_from_mean, flip, active,
                             noise_gate, noise_scale, noise_per_channel,
+                            jitter_op, jitter_factor,
                             gt, n_gt, aug_key, seg_slots, seg_active)
-            n_data = 15
+            n_data = 17
         else:
             def step(state, slots, src_rect, dst_rect, fill_rect,
                      fill_color, fill_from_mean, flip, active, noise_gate,
-                     noise_scale, noise_per_channel, gt, n_gt, aug_key):
+                     noise_scale, noise_per_channel, jitter_op,
+                     jitter_factor, gt, n_gt, aug_key):
                 return core(state, slots, src_rect, dst_rect, fill_rect,
                             fill_color, fill_from_mean, flip, active,
                             noise_gate, noise_scale, noise_per_channel,
-                            gt, n_gt, aug_key)
-            n_data = 13
+                            jitter_op, jitter_factor, gt, n_gt, aug_key)
+            n_data = 15
 
         if mesh is not None:
             return _mesh_jit(step, mesh, n_data=n_data, n_trailing_repl=1)

@@ -49,6 +49,50 @@ def test_color_jitter_is_per_image(rng):
     assert any(diffs)
 
 
+def test_planned_jitter_matches_host_photometric(rng):
+    """Host-planned op order + factors applied on device == the host's
+    photometric_distort pixel-for-pixel (up to the host's final uint8
+    truncation and HSV float noise) — closes the op-order fidelity delta
+    of the fixed-order color_jitter (reference shuffles per image,
+    image_augmentation.py:169-198)."""
+    for trial in range(12):
+        img = rng.integers(0, 255, (24, 28, 3)).astype(np.uint8)
+        seed = int(rng.integers(0, 2 ** 31))
+        r1, r2 = (np.random.default_rng(seed) for _ in range(2))
+        op_ids, factors = host_aug.sample_photometric(r1)
+        host = host_aug.photometric_distort(img, r2).astype(np.float32)
+        # identical rng stream consumption
+        assert r1.random() == r2.random()
+        got = np.asarray(dev.planned_color_jitter(
+            jnp.asarray(img[None]), jnp.asarray(op_ids[None]),
+            jnp.asarray(factors[None]))[0])
+        # host casts to uint8 (truncation, <=1) at the very end; HSV and
+        # pow round-trips add small float noise on top
+        assert np.abs(got - host).max() <= 2.0, \
+            (trial, op_ids, np.abs(got - host).max())
+
+
+def test_planned_jitter_identity_program(rng):
+    img = rng.integers(0, 255, (2, 8, 8, 3)).astype(np.uint8)
+    out = np.asarray(dev.planned_color_jitter(
+        jnp.asarray(img), jnp.full((2, 5), -1, jnp.int32),
+        jnp.ones((2, 5), jnp.float32)))
+    np.testing.assert_array_equal(out, img.astype(np.float32))
+
+
+def test_planned_jitter_order_matters(rng):
+    """Same ops in different order produce different pixels — the very
+    thing the fixed-order jitter could not express."""
+    img = jnp.asarray(rng.integers(0, 255, (1, 16, 16, 3)).astype(np.uint8))
+    f = jnp.asarray(np.float32([[1.4, 0.6, 1.0, 1.0, 1.0]]))
+    ab = np.asarray(dev.planned_color_jitter(
+        img, jnp.asarray(np.int32([[4, 0, -1, -1, -1]])), f))  # gamma, b
+    ba = np.asarray(dev.planned_color_jitter(
+        img, jnp.asarray(np.int32([[0, 4, -1, -1, -1]])),
+        jnp.asarray(np.float32([[0.6, 1.4, 1.0, 1.0, 1.0]]))))  # b, gamma
+    assert not np.allclose(ab, ba)
+
+
 def test_additive_noise_stats(rng):
     imgs = jnp.full((64, 8, 8, 3), 128.0, jnp.float32)
     out = np.asarray(dev.additive_noise(imgs, jax.random.PRNGKey(1)))

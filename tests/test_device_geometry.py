@@ -303,12 +303,12 @@ def test_geometry_seg_end_to_end(tmp_path, rng):
 
 
 def _host_single_labels(img, boxes, cls, diff, rng, expand_scale=1.5,
-                        allow_expand=True):
+                        allow_expand=True, photometric=False):
     """The host pixel path's label math (DetectionDataset.get_single)."""
     img2, nb, nl, nd, _ = augment.transform_od(
         img, boxes, cls, diff, rng, phase="train",
         allow_expand=allow_expand, expand_scale=expand_scale,
-        photometric=False)
+        photometric=photometric)
     nh, nw = img2.shape[:2]
     if nb.shape[0]:
         bw = (nb[:, 2] - nb[:, 0]) / nw
@@ -347,11 +347,42 @@ def test_single_labels_match_host_path():
         assert (src <= 1.0 + 1e-6).all() and (src >= -1e-6).all()
 
 
+def test_single_labels_match_host_path_with_photometric():
+    """plan_group (photometric planning ON) == host get_single labels with
+    the photometric pass applied — the planner's jitter draws consume the
+    stream exactly where transform_od's do."""
+    base = np.random.default_rng(29)
+    planner = GeometryPlanner(stage_size=64, expand_scale=1.5,
+                              apply_noise=False)
+    for trial in range(10):
+        h, w = int(base.integers(60, 140)), int(base.integers(60, 140))
+        img = base.integers(0, 255, (h, w, 3), np.uint8)
+        x1, y1 = base.uniform(0, w * 0.5), base.uniform(0, h * 0.5)
+        boxes = np.asarray([[x1, y1, x1 + w * 0.3, y1 + h * 0.3]],
+                           np.float32)
+        cls = np.asarray([1.0], np.float32)
+        diff = np.asarray([0.0], np.float32)
+        seed = int(base.integers(0, 2 ** 31))
+        _, host_rows = _host_single_labels(
+            img, boxes.copy(), cls, diff, np.random.default_rng(seed),
+            photometric=True)
+        plan = planner.plan_group([(img, boxes.copy(), cls, diff)],
+                                  np.random.default_rng(seed))
+        np.testing.assert_allclose(plan.labels, host_rows, rtol=0,
+                                   atol=1e-6)
+        # a planned program exists (some trial applies at least one op)
+        assert plan.jitter_op.shape == (4, 5)
+
+
 def test_mosaic_labels_match_host_path():
-    """Group-of-N planning == host get_group label math, same rng."""
+    """Group-of-N planning == host get_group label math, same rng — with
+    photometric planning ON (the production geometry config), so the
+    planner's jitter draws must sit at exactly transform_od's position in
+    the stream for the geometric draws to stay aligned."""
     base = np.random.default_rng(11)
     planner = GeometryPlanner(stage_size=64, expand_scale=1.5,
                               apply_noise=False)
+    assert planner.apply_photometric
     for trial in range(8):
         num = int(base.integers(2, 5))
         sources = []
@@ -371,7 +402,8 @@ def test_mosaic_labels_match_host_path():
         group = []
         for img, boxes, cls, diff in sources:
             img2, rows = _host_single_labels(img, boxes.copy(), cls, diff,
-                                             hrng, allow_expand=False)
+                                             hrng, allow_expand=False,
+                                             photometric=True)
             group.append((img2, rows))
         _, host_rows = mosaic(group, (1000, 1000), hrng)
 
@@ -400,7 +432,8 @@ def test_planner_pixels_close_to_host_path():
 
     seed = 123
     himg, _ = _host_single_labels(img, boxes.copy(), cls, diff,
-                                  np.random.default_rng(seed))
+                                  np.random.default_rng(seed),
+                                  photometric=True)
     host_out = cv2.resize(himg.astype(np.float32), (64, 64),
                           interpolation=cv2.INTER_LINEAR)
 
@@ -408,10 +441,13 @@ def test_planner_pixels_close_to_host_path():
                               apply_noise=False)
     plan = planner.plan_group([(img, boxes.copy(), cls, diff)],
                               np.random.default_rng(seed))
+    # apply the host-planned photometric program on device too (the host
+    # path above ran photometric_distort inside transform_od)
     out = np.asarray(geometric_compose(*_compose_args(
         plan.slots, plan.src_rect, plan.dst_rect, plan.fill_rect,
         plan.fill_color, plan.fill_from_mean, plan.flip, plan.active),
-        (64, 64))[0])
+        (64, 64), jitter_op=jnp.asarray(plan.jitter_op[None]),
+        jitter_factor=jnp.asarray(plan.jitter_factor[None]))[0])
     assert np.abs(out - host_out).mean() < 3.0
 
 
