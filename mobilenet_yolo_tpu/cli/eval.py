@@ -1,6 +1,14 @@
 """Standalone mAP evaluation CLI (reference ``train.py --evaluate``):
 
     python -m mobilenet_yolo_tpu.cli.eval -y <data.yaml> -c <ckptdir>
+
+Runs the SAME evaluation driver as ``Trainer.evaluate``
+(eval/evaluator.py:evaluate_detection), so the VOC protocol — difficult-GT
+handling (reference eval_mAP.py:8-67), the model yaml's ``nms_top_k``
+horizon, segmentation mIoU for multi-task checkpoints — cannot drift
+between the training-loop eval and this CLI. Orbax checkpoints also
+restore the training run's adapted ``val_conf`` (the reference's feedback
+controller state, train.py:434-440) unless ``--val-conf`` overrides it.
 """
 
 from __future__ import annotations
@@ -10,6 +18,7 @@ import argparse
 from mobilenet_yolo_tpu.config import default_data_yaml
 
 import json
+import os
 
 
 def main(argv=None):
@@ -19,56 +28,87 @@ def main(argv=None):
     parser.add_argument("-c", "--checkpoint", default="checkpoint")
     parser.add_argument("--backbone", default="mbv2",
                         choices=["mbv2", "mbv3", "mbv3_macc"])
-    parser.add_argument("--val-conf", default=0.1, type=float)
+    parser.add_argument("--val-conf", default=None, type=float,
+                        help="confidence gate; default: the checkpoint's "
+                             "adapted val_conf (0.1 when unavailable)")
     parser.add_argument("--batch-size", default=32, type=int)
+    parser.add_argument("--mesh", default="auto", type=str,
+                        help="device mesh spec (see cli/train.py --mesh); "
+                             "'auto' shards the eval batch over all "
+                             "visible chips")
     parser.add_argument("--random-weights", action="store_true")
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
     import yaml
 
     from mobilenet_yolo_tpu.cli.infer import load_variables
     from mobilenet_yolo_tpu.config import load_config
     from mobilenet_yolo_tpu.data.pipeline import DetectionDataset, Loader
     from mobilenet_yolo_tpu.data.records import RecordReader
-    from mobilenet_yolo_tpu.eval import Evaluator, make_predict_fn
+    from mobilenet_yolo_tpu.eval import make_predict_fn
+    from mobilenet_yolo_tpu.eval.evaluator import evaluate_detection
+    from mobilenet_yolo_tpu.parallel import mesh_from_spec
+
     from mobilenet_yolo_tpu.models import build_model
 
     cfg = load_config(args.data_yaml)
-    model = build_model(cfg.model, args.backbone)
     mc = cfg.model
+    model = build_model(mc, args.backbone)
     x = jnp.zeros((args.batch_size, mc["img_h"], mc["img_w"], 3), jnp.float32)
-    variables = load_variables(model, args.checkpoint, x,
-                               random_ok=args.random_weights)
-    predict = make_predict_fn(model, mc)
+
+    val_conf = args.val_conf
+    if os.path.isdir(args.checkpoint) and not args.random_weights:
+        # restore the full TrainState: weights AND the adapted val_conf
+        from mobilenet_yolo_tpu.train.checkpoints import CheckpointManager
+        from mobilenet_yolo_tpu.train.state import create_train_state
+        state, _ = create_train_state(model, jax.random.PRNGKey(0),
+                                      (mc["img_w"], mc["img_h"]))
+        restored = CheckpointManager(args.checkpoint).restore_latest(state)
+        if restored is None:
+            raise FileNotFoundError(
+                f"no checkpoint found at {args.checkpoint}")
+        variables = {"params": restored.params,
+                     "batch_stats": restored.batch_stats}
+        if val_conf is None:
+            val_conf = float(restored.val_conf)
+    else:
+        variables = load_variables(model, args.checkpoint, x,
+                                   random_ok=args.random_weights)
+    if val_conf is None:
+        val_conf = 0.1
+
+    mesh = mesh_from_spec(args.mesh)
+    # same NMS horizon as the Trainer (TrainerConfig.nms_top_k semantics:
+    # the reference's ragged pipeline has no cap, utils/box.py:11-31)
+    predict = make_predict_fn(model, mc,
+                              top_k=int(mc.get("nms_top_k", 512)),
+                              mesh=mesh)
 
     with open(args.data_yaml) as f:
         data_cfg = yaml.safe_load(f)
+    seg_nc = int(data_cfg.get("segmentation_num_classes", 0))
     ds = DetectionDataset(
-        RecordReader(data_cfg["test_dataset_path"]["lmdb"]), phase="test")
+        RecordReader(data_cfg["test_dataset_path"]["lmdb"]), phase="test",
+        has_seg=cfg.segmentation_enabled, seg_num_classes=seg_nc)
     norm = mc["normalize"]
     loader = Loader(ds, args.batch_size, [[mc["img_w"], mc["img_h"]]],
-                    norm["mean"], norm["std"], shuffle=False)
+                    norm["mean"], norm["std"], shuffle=False,
+                    pad_final=False)
 
-    ev = Evaluator(cfg.classes)
-    val_conf = jnp.float32(args.val_conf)
-    for batch in loader:
-        # pad the tail batch to the compiled shape
-        images = batch["images"]
-        n = images.shape[0]
-        if n < args.batch_size:
-            pad = args.batch_size - n
-            images = jnp.concatenate(
-                [jnp.asarray(images),
-                 jnp.zeros((pad,) + images.shape[1:], jnp.float32)])
-        out = predict(variables, jnp.asarray(images), val_conf)
-        ev.add_batch(out[0][:n], out[1][:n], batch["gt"], batch["n_gt"])
-
-    aps, mAP, tp, fp = ev.compute()
-    print(json.dumps({"mAP": mAP, "APs": aps}, indent=2))
-    return mAP
+    res = evaluate_detection(
+        predict, variables, loader, cfg.classes, val_conf,
+        pad_multiple=(mesh.shape.get("data", 1) if mesh is not None else 1),
+        batch_size=args.batch_size)
+    out = {"mAP": res["mAP"], "APs": res["aps"],
+           "val_conf": val_conf}
+    if res["seg_miou"] is not None:
+        out["seg_mIoU"] = float(res["seg_miou"])
+    print(json.dumps(out, indent=2))
+    return res["mAP"]
 
 
 if __name__ == "__main__":

@@ -67,6 +67,16 @@ def get_params(argv=None):
                              " (~5x host pipeline speedup on slow hosts)."
                              " Seg datasets: /16 targets rasterize on"
                              " device too")
+    parser.add_argument("--mesh", default="auto", type=str,
+                        help="device mesh spec: 'auto' (default — data-"
+                             "parallel over all visible chips when there"
+                             " is more than one), 'none' (single device),"
+                             " 'N' (N-way DP) or 'NxM' (N-way DP x M-way"
+                             " tensor parallel). Training, eval and"
+                             " checkpoints all ride the same mesh; on a"
+                             " multi-host pod jax.distributed initializes"
+                             " automatically and each host feeds its slice"
+                             " of the global batch")
     parser.add_argument("-j", "--num-workers", default=0, type=int,
                         help="input-pipeline worker processes (the"
                              " reference's DataLoader num_workers=4,"
@@ -87,14 +97,25 @@ def get_params(argv=None):
     return parser.parse_args(argv)
 
 
-def main(args):
+def main(args, report=None):
+    # ``report``: optional ReportHook override (train/hpo.py) — local HPO
+    # drivers (hpo/random_search.py) record trial reports through it; the
+    # default resolves NNI when present, else a no-op
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
     from mobilenet_yolo_tpu.config import load_config
     from mobilenet_yolo_tpu.models import build_model
+    from mobilenet_yolo_tpu.parallel import (initialize_distributed,
+                                             mesh_from_spec)
     from mobilenet_yolo_tpu.train.hpo import make_report_hook
     from mobilenet_yolo_tpu.train.loop import Trainer, TrainerConfig
+
+    # multi-host pods: wire DCN before the first jax.devices() call (a
+    # no-op on a single host; docs/TRAINING.md §5 has the pod runbook)
+    if initialize_distributed():
+        print(f"jax.distributed: process {jax.process_index()} of "
+              f"{jax.process_count()}")
 
     overrides = {k: getattr(args, k) for k in (
         "ignore_thresh_1", "ignore_thresh_2", "iou_thresh", "expand_scale",
@@ -127,6 +148,10 @@ def main(args):
             model_cfg["batch_size"] = args.batch_size
 
     import jax.numpy as jnp
+    mesh = mesh_from_spec(args.mesh, batch_size=model_cfg["batch_size"]
+                          if "batch_size" in model_cfg else None)
+    if mesh is not None:
+        print(f"device mesh: {dict(mesh.shape)}")
     model = build_model(model_cfg, args.backbone,
                         dtype=jnp.bfloat16 if args.bf16 else None)
     tcfg = TrainerConfig(
@@ -142,7 +167,8 @@ def main(args):
     device_pixel_aug = args.device_pixel_aug and device_normalize
     device_geometry = args.device_geometry and not args.synthetic
     trainer = Trainer(model, model_cfg, classes_name, tcfg,
-                      segmentation=segmentation, report=make_report_hook(),
+                      segmentation=segmentation, mesh=mesh,
+                      report=report or make_report_hook(),
                       device_normalize=device_normalize,
                       device_pixel_aug=device_pixel_aug,
                       device_geometry=device_geometry)

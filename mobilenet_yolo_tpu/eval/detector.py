@@ -9,7 +9,6 @@ recompile.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -28,6 +27,7 @@ def make_predict_fn(
     iou_threshold: float = 0.45,
     use_pallas_nms: bool | None = None,
     normalize: bool = False,
+    mesh=None,
 ) -> Callable:
     """Build ``predict(variables, images, val_conf) -> (dets, keep[, seg])``.
 
@@ -39,6 +39,14 @@ def make_predict_fn(
     * keep:   (B, K) validity mask
     * seg:    (B, H/16, W/16, seg_classes) sigmoid maps, if the model has a
       segmentation head (reference seg_loss.py:78-81 eval branch)
+
+    With ``mesh`` the program is GSPMD-sharded: the batch dimension splits
+    over the ``data`` axis (B must be a multiple of it — the Trainer pads
+    eval batches up accordingly), variables/val_conf are replicated and the
+    outputs gather back replicated, so the N-chip eval path is the same
+    one-liner as single-chip. Under a tensor-parallel mesh (``model`` axis
+    > 1) the variables' own placements propagate through a plain jit
+    instead, exactly like the train step (train/step.py:_mesh_jit).
 
     Anchors are re-normalized per live input size, mirroring the reference's
     per-forward ``img_size`` update (mbv2_yolo.py:139-140).
@@ -59,7 +67,6 @@ def make_predict_fn(
         norm_mean = np.asarray(norm_cfg["mean"], np.float32)
         norm_std = np.asarray(norm_cfg["std"], np.float32)
 
-    @partial(jax.jit, static_argnames=())
     def predict(variables: Any, images: jax.Array, val_conf: jax.Array):
         h, w = images.shape[1], images.shape[2]
         anchors_norm = scaled_anchors(anchors_px, w, h)
@@ -82,4 +89,11 @@ def make_predict_fn(
             return dets, keep, jax.nn.sigmoid(outputs["seg"])
         return dets, keep
 
-    return predict
+    if mesh is not None and mesh.shape.get("model", 1) == 1:
+        from mobilenet_yolo_tpu.parallel.mesh import (batch_sharding,
+                                                      replicated)
+        repl = replicated(mesh)
+        return jax.jit(predict,
+                       in_shardings=(repl, batch_sharding(mesh), repl),
+                       out_shardings=repl)
+    return jax.jit(predict)

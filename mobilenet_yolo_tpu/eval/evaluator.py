@@ -85,28 +85,68 @@ class Evaluator:
         return adjust_confidence(self.gt_box_count, self.pred_box_count, conf)
 
 
-def run_evaluation(
+def evaluate_detection(
     predict_fn: Callable,
     variables,
-    batches: Iterable,
+    loader: Iterable,
     classes_name: list[str],
     val_conf: float,
-):
-    """Convenience driver: returns (mAP, per-class APs, new_val_conf).
+    pad_multiple: int = 1,
+    batch_size: int | None = None,
+    log: Callable[[str], None] | None = None,
+) -> dict:
+    """The ONE evaluation driver behind both ``Trainer.evaluate`` and the
+    standalone ``cli/eval.py`` (so the VOC protocol cannot drift between
+    them): fixed-shape batch padding, difficult-flag threading (reference
+    eval_mAP.py:8-67 skips difficult GT in both the n_easy denominator and
+    the FP count), optional segmentation mIoU, and the val_conf feedback
+    controller's pred/GT counts.
 
-    ``batches``: (images, gt, n_gt[, gt_difficult]) tuples or Loader-style
-    dicts (which carry ``gt_difficult`` when the shard has the flag).
+    * ``loader`` yields Loader-style dicts; every batch is padded up to the
+      largest size seen so far, rounded to ``pad_multiple`` (the mesh's
+      ``data`` axis under a sharded predict) so XLA compiles once.
+    * returns ``{"mAP", "aps", "new_conf", "seg_miou", "tp", "fp"}``
+      (seg_miou None without a seg head/maps).
     """
+    from mobilenet_yolo_tpu.ops.seg_metrics import SegMetricAccumulator
+    import jax.numpy as jnp
+
     ev = Evaluator(classes_name)
-    for batch in batches:
-        if isinstance(batch, dict):
-            images, gt, n_gt = batch["images"], batch["gt"], batch["n_gt"]
-            diffs = batch.get("gt_difficult")
-        else:
-            images, gt, n_gt = batch[0], batch[1], batch[2]
-            diffs = batch[3] if len(batch) > 3 else None
-        out = predict_fn(variables, images, val_conf)
-        dets, keep = out[0], out[1]
-        ev.add_batch(dets, keep, gt, n_gt, difficulties=diffs)
+    seg_acc = None
+    vc = jnp.asarray(val_conf)
+
+    def round_up(n: int) -> int:
+        return -(-n // pad_multiple) * pad_multiple
+
+    if batch_size is not None:
+        batch_size = round_up(batch_size)
+    for batch in loader:
+        images = jnp.asarray(batch["images"])
+        n = images.shape[0]
+        batch_size = (round_up(n) if batch_size is None
+                      else max(batch_size, round_up(n)))
+        if n < batch_size:
+            images = jnp.concatenate(
+                [images, jnp.zeros((batch_size - n,) + images.shape[1:],
+                                   images.dtype)])
+        out = predict_fn(variables, images, vc)
+        dets, keep = out[0][:n], out[1][:n]
+        ev.add_batch(dets, keep, batch["gt"], batch["n_gt"],
+                     difficulties=batch.get("gt_difficult"))
+        if len(out) > 2 and "seg_maps" in batch:
+            if seg_acc is None:
+                seg_acc = SegMetricAccumulator(out[2].shape[-1])
+            seg_acc.add_batch(out[2][:n], jnp.asarray(batch["seg_maps"]))
+    seg_miou = None
+    if seg_acc is not None:
+        _, seg_miou = seg_acc.compute()
+        if log:
+            log(f"  seg mIoU {seg_miou:.4f}")
+    new_conf = ev.adjusted_conf(float(val_conf))
     aps, mAP, tp, fp = ev.compute()
-    return mAP, aps, ev.adjusted_conf(val_conf)
+    if log:
+        log(f"  val_conf -> {new_conf:.3f}; mAP {mAP:.4f}")
+    return {"mAP": mAP, "aps": aps, "new_conf": new_conf,
+            "seg_miou": seg_miou, "tp": tp, "fp": fp}
+
+

@@ -1,6 +1,9 @@
 from mobilenet_yolo_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     create_mesh,
+    initialize_distributed,
+    mesh_from_spec,
+    multihost_env_detected,
     replicated,
     shard_batch,
 )

@@ -15,17 +15,56 @@ its local shard of the batch.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def multihost_env_detected() -> bool:
+    """True when the environment looks like one process of a multi-host
+    job (TPU pod slice or an explicitly-coordinated launch) — i.e. when a
+    no-arg ``jax.distributed.initialize()`` has something to wire up.
+
+    Detection is deliberately conservative: a plain single-host run must
+    never trip it (``jax.distributed.initialize`` would then block waiting
+    for a coordinator).
+    """
+    env = os.environ
+    if env.get("JAX_COORDINATOR_ADDRESS") or env.get("COORDINATOR_ADDRESS"):
+        return True
+    # Cloud TPU pod slice: the runtime exports the worker roster
+    hostnames = env.get("TPU_WORKER_HOSTNAMES", "")
+    if "," in hostnames:
+        return True
+    try:
+        if int(env.get("JAX_NUM_PROCESSES", "1")) > 1:
+            return True
+    except ValueError:
+        pass
+    return False
+
+
 def initialize_distributed(coordinator: str | None = None,
                            num_processes: int | None = None,
-                           process_id: int | None = None) -> None:
-    """Multi-host bring-up (no-op on a single host)."""
+                           process_id: int | None = None) -> bool:
+    """Multi-host bring-up; returns True when distributed was initialized.
+
+    Explicit coordinates take precedence; with none given, auto-detects a
+    multi-host environment (:func:`multihost_env_detected`) and calls the
+    no-arg ``jax.distributed.initialize()`` that self-configures on TPU
+    pods. A plain single host is a no-op, so CLIs can call this
+    unconditionally before touching ``jax.devices()``.
+    """
     if num_processes and num_processes > 1:
         jax.distributed.initialize(coordinator, num_processes, process_id)
+        return True
+    if coordinator is None and num_processes is None \
+            and multihost_env_detected():
+        jax.distributed.initialize()
+        return True
+    return False
 
 
 def create_mesh(n_data: int | None = None, n_model: int = 1,
@@ -40,6 +79,42 @@ def create_mesh(n_data: int | None = None, n_model: int = 1,
     assert n_data * n_model <= devices.size, (n_data, n_model, devices.size)
     grid = devices[: n_data * n_model].reshape(n_data, n_model)
     return Mesh(grid, axis_names=("data", "model"))
+
+
+def mesh_from_spec(spec: str, batch_size: int | None = None) -> Mesh | None:
+    """CLI-facing mesh construction from a ``--mesh`` spec string.
+
+    * ``auto``  — a 1-D ``data`` mesh over all visible devices when there
+      is more than one, else no mesh (single-device jit);
+    * ``none``/``off``/``1`` — force single-device;
+    * ``N``     — N-way data parallelism;
+    * ``NxM``   — N-way data x M-way model (tensor) parallelism.
+
+    ``batch_size`` (the GLOBAL batch) is validated against the data axis —
+    an indivisible batch would fail deep inside GSPMD otherwise.
+    """
+    spec = (spec or "auto").strip().lower()
+    if spec in ("none", "off", "1"):
+        return None
+    n_dev = len(jax.devices())
+    if spec == "auto":
+        if n_dev <= 1:
+            return None
+        n_data, n_model = n_dev, 1
+    elif "x" in spec:
+        a, b = spec.split("x", 1)
+        n_data, n_model = int(a), int(b)
+    else:
+        n_data, n_model = int(spec), 1
+    if n_data * n_model > n_dev:
+        raise ValueError(
+            f"--mesh {spec} needs {n_data * n_model} devices, "
+            f"{n_dev} visible")
+    if batch_size is not None and batch_size % n_data:
+        raise ValueError(
+            f"global batch {batch_size} is not divisible by the mesh's "
+            f"data axis {n_data}; adjust --batch-size or --mesh")
+    return create_mesh(n_data=n_data, n_model=n_model)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from mobilenet_yolo_tpu.eval.detector import make_predict_fn
-from mobilenet_yolo_tpu.eval.evaluator import Evaluator
 from mobilenet_yolo_tpu.parallel.mesh import shard_batch
 from mobilenet_yolo_tpu.train.checkpoints import CheckpointManager
 from mobilenet_yolo_tpu.train.hpo import NoOpReport, ReportHook
@@ -67,6 +66,11 @@ class TrainerConfig:
     checkpoint_dir: str = "checkpoint"
     eval_every: int = 2            # odd epochs evaluate (train.py:189,203)
     log_suffix_every: int = 10
+    # mid-epoch checkpoint cadence in batches (0 = per-epoch only, the
+    # reference's granularity). When on, checkpoints carry (epoch,
+    # batch_idx) and resume fast-forwards the Loader to the exact batch;
+    # step ids become epoch*1e6+batch so they stay monotonic.
+    checkpoint_every_batches: int = 0
     tensorboard_dir: Optional[str] = None
     max_gt: int = 90
     # NMS top-K horizon for evaluation. The reference's ragged pipeline has
@@ -106,6 +110,13 @@ class Trainer:
         self.state, self.tx = create_train_state(
             model, jax.random.PRNGKey(0), img_size,
             learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay)
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            # tensor parallelism: shard large output-channel kernels (and
+            # their Adam moments) over the ``model`` axis; the plain-jitted
+            # steps then propagate the placements through GSPMD
+            from mobilenet_yolo_tpu.parallel.sharding import \
+                shard_over_model_axis
+            self.state = shard_over_model_axis(self.state, mesh)
         self.device_pixel_aug = device_pixel_aug
         # device_geometry: batches arrive as staged sources + compose
         # parameters (Loader(device_geometry=True)); the step runs the whole
@@ -121,8 +132,19 @@ class Trainer:
                 mesh=mesh, normalize=device_normalize,
                 pixel_aug=device_pixel_aug)
         self._aug_key = jax.random.PRNGKey(17)
+        # eval rides the same mesh as training (batch sharded over the
+        # ``data`` axis) so the alternate-epoch mAP pass scales with the
+        # chip count instead of serializing on one device. Multi-host runs
+        # keep a meshless predict: every host evaluates the full set
+        # locally (metrics are host-local; a cross-process device_put of a
+        # host-complete batch is ill-defined).
+        predict_mesh = mesh if (mesh is not None
+                                and jax.process_count() == 1) else None
         self.predict = make_predict_fn(model, model_cfg, top_k=cfg.nms_top_k,
-                                       normalize=device_normalize)
+                                       normalize=device_normalize,
+                                       mesh=predict_mesh)
+        self._eval_pad_multiple = (predict_mesh.shape.get("data", 1)
+                                   if predict_mesh is not None else 1)
         self.ckpt = CheckpointManager(cfg.checkpoint_dir)
         self.tb = TensorBoardWriter(cfg.tensorboard_dir)
         self.logger = None
@@ -135,18 +157,41 @@ class Trainer:
             return False
         self.state = restored
         self.best_acc = float(restored.best_acc)
-        self._log(f"resumed from epoch {int(restored.epoch)}")
+        b = int(restored.batch_idx)
+        self._log(f"resumed from epoch {int(restored.epoch)}"
+                  + (f" batch {b}" if b else ""))
         return True
 
     def _log(self, msg: str):
         if self.verbose:
             print(msg, flush=True)
 
+    def _ckpt_step(self, epoch: int, batch_idx: int = 0) -> int:
+        """Monotonic orbax step id. Plain epoch numbering unless mid-epoch
+        checkpointing is on (then epoch*1e6+batch keeps saves ordered)."""
+        if self.cfg.checkpoint_every_batches:
+            return epoch * 1_000_000 + batch_idx
+        return epoch
+
     # -------------------------------------------------------------- train --
-    def train_epoch(self, loader: Iterable, epoch: int) -> dict:
+    def train_epoch(self, loader: Iterable, epoch: int,
+                    start_batch: int = 0) -> dict:
         lr = learning_rate_for_epoch(self.cfg.learning_rate, epoch,
                                      self.cfg.schedule, self.cfg.warm_up)
         self.state = self.state.with_lr(lr)
+        # keep the Loader's plan in lockstep with the training epoch so a
+        # resumed run sees the SAME shuffle/augmentation plan the
+        # uninterrupted run would (plain iteration counting would restart
+        # a resumed run's plans at epoch 1)
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(epoch)
+        if start_batch:
+            if hasattr(loader, "set_skip"):
+                loader.set_skip(start_batch)   # skipped without decoding
+            else:
+                import itertools
+                loader = itertools.islice(iter(loader), start_batch, None)
+            self._log(f"  resuming epoch {epoch} at batch {start_batch}")
         meters = MeterDict()
         start = time.time()
 
@@ -174,7 +219,8 @@ class Trainer:
                     f"obj {(a.get('obj0', 0) + a.get('obj1', 0)) / 2:.3f} "
                     f"recall {(a.get('recall0', 0) + a.get('recall1', 0)) / 2:.3f}")
 
-        for i, batch in enumerate(loader):
+        for j, batch in enumerate(loader):
+            i = start_batch + j    # absolute batch index within the epoch
             if self.device_geometry:
                 args = tuple(jnp.asarray(batch[k])
                              for k in GEOMETRY_BATCH_KEYS)
@@ -206,6 +252,13 @@ class Trainer:
             if pending is not None:
                 drain(pending)
             pending = (i, batch["gt"].shape[0], metrics)
+            every = self.cfg.checkpoint_every_batches
+            if every and (i + 1) % every == 0:
+                # mid-epoch snapshot: (epoch, batch_idx) ride the state so
+                # a killed run resumes at exactly this batch
+                self.state = self.state.replace(
+                    batch_idx=jnp.asarray(i + 1, jnp.int32))
+                self.ckpt.save(self._ckpt_step(epoch, i + 1), self.state)
         if pending is not None:
             drain(pending)
         avgs = meters.averages()
@@ -216,41 +269,18 @@ class Trainer:
     # --------------------------------------------------------------- eval --
     def evaluate(self, loader: Iterable, batch_size: int | None = None
                  ) -> tuple[float, dict]:
-        from mobilenet_yolo_tpu.ops.seg_metrics import SegMetricAccumulator
+        from mobilenet_yolo_tpu.eval.evaluator import evaluate_detection
 
-        ev = Evaluator(self.classes_name)
-        seg_acc = None
-        val_conf = jnp.asarray(self.state.val_conf)
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
-        for batch in loader:
-            images = jnp.asarray(batch["images"])
-            n = images.shape[0]
-            # pad every batch up to the largest size seen so far, so an
-            # iterable with a bigger-than-first batch still pads instead of
-            # silently recompiling per shape (at worst a couple of compiles)
-            batch_size = n if batch_size is None else max(batch_size, n)
-            if n < batch_size:
-                images = jnp.concatenate(
-                    [images, jnp.zeros((batch_size - n,) + images.shape[1:],
-                                       images.dtype)])
-            out = self.predict(variables, images, val_conf)
-            dets, keep = out[0][:n], out[1][:n]
-            ev.add_batch(dets, keep, batch["gt"], batch["n_gt"],
-                         difficulties=batch.get("gt_difficult"))
-            if len(out) > 2 and "seg_maps" in batch:
-                if seg_acc is None:
-                    seg_acc = SegMetricAccumulator(out[2].shape[-1])
-                seg_acc.add_batch(out[2][:n], jnp.asarray(batch["seg_maps"]))
-        if seg_acc is not None:
-            _, miou = seg_acc.compute()
-            self._log(f"  seg mIoU {miou:.4f}")
-        new_conf = ev.adjusted_conf(float(self.state.val_conf))
+        res = evaluate_detection(
+            self.predict, variables, loader, self.classes_name,
+            float(self.state.val_conf),
+            pad_multiple=self._eval_pad_multiple, batch_size=batch_size,
+            log=self._log if self.verbose else None)
         self.state = self.state.replace(
-            val_conf=jnp.asarray(new_conf, jnp.float32))
-        aps, mAP, tp, fp = ev.compute()
-        self._log(f"  val_conf -> {new_conf:.3f}; mAP {mAP:.4f}")
-        return mAP, aps
+            val_conf=jnp.asarray(res["new_conf"], jnp.float32))
+        return res["mAP"], res["aps"]
 
     # ---------------------------------------------------------------- fit --
     def fit(self, train_loader_fn: Callable[[], Iterable],
@@ -264,16 +294,22 @@ class Trainer:
             self.logger.set_names(["Epoch", "Loss", "Precision", "Time",
                                    "IOU", "LearningRate"])
         first = int(self.state.epoch) if start_epoch is None else start_epoch
+        # mid-epoch resume: the restored state says how many batches of
+        # epoch `first` were already consumed (0 on epoch boundaries)
+        start_batch = int(self.state.batch_idx) if start_epoch is None else 0
         test_acc = self.best_acc  # carried over a resume until the next eval
         for epoch in range(first, cfg.epochs):
             st = time.time()
-            stats = self.train_epoch(train_loader_fn(), epoch)
+            stats = self.train_epoch(train_loader_fn(), epoch,
+                                     start_batch=start_batch)
+            start_batch = 0
             self.tb.scalar("Loss/train", stats.get("loss", 0.0), epoch)
             iou = (stats.get("avg_iou0", 0) + stats.get("avg_iou1", 0)) / 2
             self.tb.scalar("iou/train", iou, epoch)
 
             self.state = self.state.replace(
-                epoch=jnp.asarray(epoch + 1, jnp.int32))
+                epoch=jnp.asarray(epoch + 1, jnp.int32),
+                batch_idx=jnp.asarray(0, jnp.int32))
             evaluate_now = (epoch % cfg.eval_every) == (cfg.eval_every - 1)
             if evaluate_now:
                 test_acc, _ = self.evaluate(eval_loader_fn())
@@ -282,9 +318,10 @@ class Trainer:
                 self.state = self.state.replace(
                     best_acc=jnp.asarray(self.best_acc, jnp.float32))
                 self.tb.scalar("Accuracy/test", test_acc, epoch + 1)
-                self.ckpt.save(epoch + 1, self.state, mAP=test_acc)
+                self.ckpt.save(self._ckpt_step(epoch + 1), self.state,
+                               mAP=test_acc)
             else:
-                self.ckpt.save(epoch + 1, self.state)
+                self.ckpt.save(self._ckpt_step(epoch + 1), self.state)
             self.logger.append([epoch + 1, stats.get("loss", 0.0), test_acc,
                                 time.time() - st, iou, stats["lr"]])
         self.report.final(self.best_acc)

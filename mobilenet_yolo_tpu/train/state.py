@@ -35,6 +35,12 @@ class TrainState(struct.PyTreeNode):
     epoch: jnp.ndarray          # scalar int32
     best_acc: jnp.ndarray       # scalar float32 (best mAP so far)
     val_conf: jnp.ndarray       # scalar float32 (feedback-controlled gate)
+    # batches already consumed in the CURRENT epoch (0 = epoch boundary).
+    # Set by mid-epoch checkpointing (TrainerConfig.checkpoint_every_
+    # batches); on resume the Trainer fast-forwards the Loader past them —
+    # exceeding the reference, whose resume granularity is whole epochs
+    # (train.py:138-153).
+    batch_idx: jnp.ndarray      # scalar int32
 
     @property
     def variables(self):
@@ -67,5 +73,6 @@ def create_train_state(
         epoch=jnp.asarray(0, jnp.int32),
         best_acc=jnp.asarray(0.0, jnp.float32),
         val_conf=jnp.asarray(val_conf, jnp.float32),
+        batch_idx=jnp.asarray(0, jnp.int32),
     )
     return state, tx

@@ -112,6 +112,41 @@ def test_tensor_parallel_step_matches_dp():
                                    rtol=0, atol=2.5e-3)
 
 
+def test_mesh_sharded_predict_matches_single_device():
+    """The eval/serving path sharded over the ``data`` axis returns the
+    same detections as the single-device jit (eval/detector.py mesh=)."""
+    from mobilenet_yolo_tpu.eval.detector import make_predict_fn
+    model = MBv2YOLO(num_classes=3, num_anchors=3, width_mult=0.35)
+    x = jnp.asarray(np.random.default_rng(11).uniform(
+        0, 1, (8, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    p1 = make_predict_fn(model, CFG, top_k=32)
+    d1, k1 = p1(variables, x, jnp.float32(0.01))
+
+    mesh = create_mesh()
+    p8 = make_predict_fn(model, CFG, top_k=32, mesh=mesh)
+    d8, k8 = p8(variables, shard_batch(mesh, x), jnp.float32(0.01))
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(d1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(k8), np.asarray(k1))
+
+
+def test_mesh_from_spec():
+    from mobilenet_yolo_tpu.parallel import mesh_from_spec
+    assert mesh_from_spec("none") is None
+    assert mesh_from_spec("1") is None
+    m = mesh_from_spec("auto", batch_size=16)
+    assert m is not None and m.shape == {"data": 8, "model": 1}
+    m = mesh_from_spec("4x2")
+    assert m.shape == {"data": 4, "model": 2}
+    import pytest
+    with pytest.raises(ValueError):
+        mesh_from_spec("auto", batch_size=12)   # 12 % 8 != 0
+    with pytest.raises(ValueError):
+        mesh_from_spec("16")                    # more than visible
+
+
 def test_spatial_partitioning_forward():
     """SP analog for CNNs: shard the image HEIGHT over the mesh — GSPMD
     inserts the halo exchanges for the convolutions automatically. The
