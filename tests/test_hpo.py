@@ -42,3 +42,40 @@ def test_search_space_keys_map_to_config():
             continue
         out = apply_overrides(base, {key: 0.42 if "num" not in key else [2]})
         assert out != base, f"override {key} had no effect"
+
+
+def test_random_search_sampler():
+    import json
+    import os
+
+    import numpy as np
+
+    import importlib.util
+    path = os.path.join(os.path.dirname(__file__), "..", "hpo",
+                        "random_search.py")
+    spec = importlib.util.spec_from_file_location("random_search", path)
+    rs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rs)
+
+    with open(os.path.join(os.path.dirname(path),
+                           "search_space.json")) as f:
+        space = json.load(f)
+    rng = np.random.default_rng(0)
+    seen = set()
+    for _ in range(20):
+        p = rs.sample_params(space, rng)
+        assert set(p) == set(space)
+        for k, spec_ in space.items():
+            if spec_["_type"] == "choice":
+                assert p[k] in spec_["_value"]
+            else:
+                lo, hi = spec_["_value"]
+                assert lo <= p[k] <= hi
+        seen.add(json.dumps(p, sort_keys=True))
+    assert len(seen) > 1  # actually random
+
+    # every sampled key merges through the cli/train override seam
+    from mobilenet_yolo_tpu.cli.train import get_params
+    args = get_params(["-y", "x.yaml"])
+    for k in space:
+        assert hasattr(args, k), k
