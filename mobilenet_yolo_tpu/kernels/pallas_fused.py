@@ -262,3 +262,151 @@ def xla_inverted_residual(x, w1, b1, wdw, bdw, w2, b2, residual=True,
     if residual:
         o = o + x.astype(jnp.float32)
     return o.astype(x.dtype)
+
+
+# ------------------------------------------------------- fused s2d stem --
+#
+# The 3x3/s2 RGB stem is the single most expensive stage of the forward
+# (~2.2 ms of 10.3 at batch 128/352², PERF.md): K=27 against 128 MXU lanes
+# and a strided window walk over the largest activation. Folding the
+# stride into a space-to-depth relayout makes every op stride-1: on the
+# (H/2, W/2, 12) block grid the stem becomes FOUR shifted K=12 matmuls
+# (output block (i,j) reads input blocks (i-1..i, j-1..j) for the
+# reference's pad-1 convention), which chain into block0's stride-1
+# depthwise + linear project (expand_ratio=1, mobilenetv2.py:54-91) inside
+# one kernel — the hidden 32-channel tensor never touches HBM.
+#
+# Status: numerically exact vs the folded model (tests), but measured
+# 15.8 ms vs XLA's 3.0 ms for the same chain at batch 128/352² bf16
+# (PERF.md "What was tried"); larger tiles hit scoped-VMEM OOM. Unwired —
+# XLA keeps the stem on this toolchain.
+
+def _fused_stem_kernel(xa_ref, xb_ref, w4_ref, b1_ref, wdw_ref, bdw_ref,
+                       w2_ref, b2_ref, out_ref, *, th: int, height: int,
+                       width: int):
+    t = pl.program_id(1)
+    _, _, wp, cin = xa_ref.shape        # (1, TH, Wp, 12)
+    tr = th + 2
+    ch = w4_ref.shape[2]
+
+    # xp rows [t*th, t*th+th+3): hidden_padded row r needs blocks r, r+1.
+    # f32 staging: tpu.dynamic_rotate (roll) has no sub-32-bit lowering
+    x = jnp.concatenate([xa_ref[0], xb_ref[0, :3]], axis=0
+                        ).astype(jnp.float32)
+
+    # stem as 4 shifted matmuls over the halo'd tile (MXU, K=12)
+    acc = jnp.zeros((tr * wp, ch), jnp.float32)
+    for bi in range(2):
+        rows = x[bi:bi + tr]
+        for bj in range(2):
+            shifted = rows if bj == 0 else pltpu.roll(rows, wp - bj, 1)
+            acc = acc + jnp.dot(shifted.reshape(tr * wp, cin),
+                                w4_ref[bi * 2 + bj].astype(jnp.float32),
+                                preferred_element_type=jnp.float32)
+    h = jnp.clip(acc + b1_ref[:], 0.0, 6.0).reshape(tr, wp, ch)
+
+    # zero the dw padding ring + alignment columns (hidden_padded coords)
+    grow = t * th + jax.lax.broadcasted_iota(jnp.int32, (tr, wp, 1), 0)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (tr, wp, 1), 1)
+    interior = ((grow > 0) & (grow < height + 1)
+                & (gcol > 0) & (gcol < width + 1))
+    h = h * interior.astype(h.dtype)
+
+    # block0 depthwise 3x3/s1 (9 rolled VPU FMAs) + ReLU6
+    acc = jnp.zeros((th, wp, ch), jnp.float32)
+    for di in range(3):
+        rows = h[di:di + th]
+        for dj in range(3):
+            shifted = pltpu.roll(rows, (1 - dj) % wp, 1)
+            acc = acc + shifted * wdw_ref[di * 3 + dj, :].astype(jnp.float32)
+    acc = acc + bdw_ref[:]
+    d = jnp.clip(acc, 0.0, 6.0)
+
+    # block0 linear project (MXU)
+    cout = w2_ref.shape[1]
+    o = jnp.dot(d.reshape(th * wp, ch).astype(w2_ref.dtype), w2_ref[:],
+                preferred_element_type=jnp.float32)
+    out_ref[0] = (o + b2_ref[:]).reshape(th, wp, cout).astype(out_ref.dtype)
+
+
+def _stem_w4(k_stem: jax.Array) -> jax.Array:
+    """(4, 12, 32) block-space stem weights from the (3, 3, 3, C) kernel.
+
+    s2d channel order is (dy, dx, c) -> dy*6 + dx*3 + c; output block
+    (i, j) tap (bi, bj) reads input block (i-1+bi, j-1+bj), so original
+    kernel tap (ky, kx) = (2*bi + dy - 1, 2*bj + dx - 1) (the reference
+    pads 1 on each side, layers.py:79). Out-of-range taps are zero.
+    """
+    cout = k_stem.shape[-1]
+    w4 = jnp.zeros((4, 12, cout), k_stem.dtype)
+    for bi in range(2):
+        for bj in range(2):
+            for dy in range(2):
+                for dx in range(2):
+                    ky, kx = 2 * bi + dy - 1, 2 * bj + dx - 1
+                    if 0 <= ky < 3 and 0 <= kx < 3:
+                        w4 = w4.at[bi * 2 + bj,
+                                   dy * 6 + dx * 3:dy * 6 + dx * 3 + 3].set(
+                            k_stem[ky, kx])
+    return w4
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def fused_stem_block0(x, k_stem, b_stem, wdw, bdw, w2, b2,
+                      tile_rows: int | None = None,
+                      interpret: bool = False):
+    """Fused stem (3x3/s2) + block0 (dw3x3/s1 + 1x1 project), BN folded.
+
+    x (B, H, W, 3) -> (B, H/2, W/2, Cout); k_stem (3, 3, 3, Ch);
+    wdw (3, 3, Ch); w2 (Ch, Cout). H, W must be even.
+    """
+    b, hin, win, _ = x.shape
+    ho, wo = hin // 2, win // 2
+    ch = k_stem.shape[-1]
+    cout = w2.shape[1]
+    th = tile_rows if tile_rows else _pick_tile_rows(ho, 16)
+    n_tiles = ho // th
+
+    # space-to-depth: (B, H/2, W/2, 12), channel = dy*6 + dx*3 + c
+    xb = x.reshape(b, ho, 2, wo, 2, 3).transpose(0, 1, 3, 2, 4, 5)
+    xb = xb.reshape(b, ho, wo, 12)
+
+    wp = _round_up(wo + 3, 8)
+    row_pad = (n_tiles + 1) * th - ho - 2
+    xp = jnp.pad(xb, ((0, 0), (2, row_pad), (2, wp - wo - 2), (0, 0)))
+    w4 = _stem_w4(k_stem)
+    wdw_flat = wdw.reshape(9, ch)
+    b1 = b_stem.reshape(1, ch)
+    bdw = bdw.reshape(1, 1, ch)
+    b2 = b2.reshape(1, cout)
+
+    kernel = functools.partial(_fused_stem_kernel, th=th, height=ho,
+                               width=wo)
+    row_block = pl.BlockSpec((1, th, wp, 12), lambda b_, t: (b_, t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    halo_block = pl.BlockSpec((1, th, wp, 12), lambda b_, t: (b_, t + 1, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[row_block, halo_block] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((1, th, wp, cout), lambda b_, t: (b_, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ho, wp, cout), x.dtype),
+        interpret=interpret,
+    )(xp, xp, w4, b1, wdw_flat, bdw, w2, b2)
+    return out[:, :, 1:wo + 1, :]
+
+
+def xla_stem_block0(x, k_stem, b_stem, wdw, bdw, w2, b2):
+    """XLA reference: stem conv3x3/s2(pad 1) + ReLU6 + block0 (for tests
+    and the honest A/B)."""
+    h = jax.lax.conv_general_dilated(
+        x, k_stem, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + b_stem
+    h = jnp.clip(h, 0, 6).astype(x.dtype)
+    return xla_inverted_residual(
+        h, jnp.eye(h.shape[-1], dtype=h.dtype), jnp.zeros((h.shape[-1],)),
+        wdw, bdw, w2, b2, residual=False, stride=1)
