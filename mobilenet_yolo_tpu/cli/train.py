@@ -55,9 +55,10 @@ def get_params(argv=None):
                              " (ops/device_augment.py) instead of the host"
                              " (~6 ms/img of host time on slow hosts); the"
                              " imgaug noise trio stays host-side with"
-                             " reference probabilities. Note: jitter op"
-                             " order is fixed on device (host shuffles it"
-                             " per image)")
+                             " reference probabilities. Jitter op order +"
+                             " factors are host-planned per image (the"
+                             " reference's per-image shuffle) and applied"
+                             " on device in planned order")
     parser.add_argument("--device-geometry", action="store_true",
                         help="run the WHOLE augmentation pipeline on device:"
                              " expand/crop/flip/mosaic composition + color"

@@ -51,7 +51,7 @@ class GrainLoader(Loader):
                     stage=stage) for g in groups]
                 return self._collate_geometry(plans, size_idx)
             samples = [self.ds.get_group(g, b_rng) for g in groups]
-            return self._collate(samples, size_idx)
+            return self._collate(samples, size_idx, rng=b_rng)
 
         # mid-epoch resume: drop already-consumed plan entries (batch rng
         # is index-keyed, so the remainder is bit-identical to the

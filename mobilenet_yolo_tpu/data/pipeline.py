@@ -306,9 +306,16 @@ class Loader:
                 plan.append(([[int(j)] for j in idx], 0))
         return plan
 
-    def _collate(self, samples, size_idx: int) -> dict:
+    def _collate(self, samples, size_idx: int,
+                 rng: np.random.Generator | None = None) -> dict:
         """Resize to the planned size, normalize+stack, GT pad, seg
-        rasterize (folder2lmdb.py:223-265)."""
+        rasterize (folder2lmdb.py:223-265).
+
+        When the dataset skips host photometric (``--device-pixel-aug``),
+        ``rng`` plans each image's photometric program here (op order +
+        gates + factors via augment.sample_photometric — the host path's
+        own sampler) and the batch carries ``jitter_op``/``jitter_factor``
+        for the device to apply in planned order."""
         w, h = self.transform_size[size_idx]
         seg_w, seg_h = w // 16, h // 16
         images = np.empty((len(samples), h, w, 3),
@@ -346,6 +353,14 @@ class Loader:
                  "gt_difficult": gt_difficult}
         if seg_maps is not None:
             batch["seg_maps"] = seg_maps
+        if (rng is not None and self.ds.phase == "train"
+                and not self.ds.apply_photometric):
+            jop = np.empty((len(samples), 5), np.int32)
+            jfac = np.empty((len(samples), 5), np.float32)
+            for i in range(len(samples)):
+                jop[i], jfac[i] = augment.sample_photometric(rng)
+            batch["jitter_op"] = jop
+            batch["jitter_factor"] = jfac
         return batch
 
     def _collate_geometry(self, plans, size_idx: int) -> dict:
@@ -452,7 +467,7 @@ class Loader:
                 yield self._collate_geometry(plans, size_idx)
             else:
                 samples = [self.ds.get_group(g, b_rng) for g in batch_groups]
-                yield self._collate(samples, size_idx)
+                yield self._collate(samples, size_idx, rng=b_rng)
 
     def __iter__(self) -> Iterator[dict]:
         self.epoch += 1

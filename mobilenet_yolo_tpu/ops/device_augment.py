@@ -13,12 +13,13 @@ budget (PERF.md); on device they fuse into the normalize pass for free.
 Distribution notes vs the host path:
 * each op applies with p=0.5 and the same factor ranges
   (brightness/contrast/saturation/gamma U(0.5,1.5), hue U(-18,18)/255);
-* the geometry train path uses :func:`planned_color_jitter`, whose op
-  ORDER (and every factor) is host-sampled per image by the planner via
-  the host path's own sampler (data/augment.py:sample_photometric) — the
-  exact reference distribution including the per-image shuffle. Only the
-  standalone :func:`color_jitter` (serving / --device-pixel-aug) keeps a
-  fixed order as a documented key-driven simplification.
+* BOTH device train paths use :func:`planned_color_jitter`, whose op
+  ORDER (and every factor) is host-sampled per image via the host path's
+  own sampler (data/augment.py:sample_photometric) — the exact reference
+  distribution including the per-image shuffle. The geometry planner
+  emits the programs per tile; in --device-pixel-aug mode the Loader's
+  _collate emits them per image. Only the standalone :func:`color_jitter`
+  (key-driven, serving/demo use) keeps a fixed order.
 * gaussian noise matches imgaug AdditiveGaussianNoise(scale U(0, 0.03*255),
   per_channel p=0.3); blur/median/sharpen stay host-side (rarely the
   bottleneck once cv2-backed).

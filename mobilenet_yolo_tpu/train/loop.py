@@ -94,9 +94,11 @@ class Trainer:
         # config's mean/std on device — less host work and 4x less
         # host->device transfer
         # device_pixel_aug: additionally run the photometric color jitter
-        # on device (ops/device_augment.py:color_jitter); pair with a host
-        # dataset built with apply_photometric=False (the imgaug noise
-        # trio stays host-side, keeping the reference's op set and order)
+        # on device in host-planned per-image op order
+        # (ops/device_augment.py:planned_color_jitter, programs emitted by
+        # Loader._collate); pair with a host dataset built with
+        # apply_photometric=False (the imgaug noise trio stays host-side,
+        # keeping the reference's op set and noise-before-jitter order)
         self.model = model
         self.model_cfg = model_cfg
         self.classes_name = classes_name
@@ -240,15 +242,18 @@ class Trainer:
                         jnp.asarray(batch["n_gt"]))
                 seg = (jnp.asarray(batch["seg_maps"]),) \
                     if self.segmentation else ()
+                jit_plan = ()
+                if self.device_pixel_aug:
+                    # host-planned per-image photometric programs (op order
+                    # + factors), applied on device in planned order
+                    jit_plan = (jnp.asarray(batch["jitter_op"]),
+                                jnp.asarray(batch["jitter_factor"]))
                 if self.mesh is not None:
                     args = shard_batch(self.mesh, args)
                     seg = shard_batch(self.mesh, seg)
-                key = ()
-                if self.device_pixel_aug:
-                    key = (jax.random.fold_in(self._aug_key,
-                                              epoch * 100003 + i),)
+                    jit_plan = shard_batch(self.mesh, jit_plan)
                 self.state, metrics = self.train_step(self.state, *args,
-                                                      *seg, *key)
+                                                      *seg, *jit_plan)
             if pending is not None:
                 drain(pending)
             pending = (i, batch["gt"].shape[0], metrics)

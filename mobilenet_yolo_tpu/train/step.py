@@ -121,21 +121,24 @@ def make_train_step(
     normalize: bool = False,
     pixel_aug: bool = False,
 ) -> Callable:
-    """Returns ``train_step(state, images, gt, n_gt[, seg_maps][, aug_key])
-    -> (state, metrics)``, jitted (and GSPMD-sharded when a mesh is given).
+    """Returns ``train_step(state, images, gt, n_gt[, seg_maps]
+    [, jitter_op, jitter_factor]) -> (state, metrics)``, jitted (and
+    GSPMD-sharded when a mesh is given).
 
     ``pixel_aug=True`` (requires ``normalize=True``, i.e. raw uint8 input)
-    runs the device-side photometric color jitter (ops/device_augment.py)
-    inside the step, keyed by a required trailing ``aug_key`` argument —
-    the host pipeline then skips its photometric pass (it keeps the imgaug
-    noise trio, preserving the reference's op set and noise-before-jitter
-    order).
+    runs the device-side photometric color jitter inside the step, as the
+    host-PLANNED per-image programs the Loader emits (``jitter_op`` /
+    ``jitter_factor`` (B, 5) arrays from augment.sample_photometric —
+    reference op ORDER included, ops/device_augment.py:
+    planned_color_jitter). The host pipeline keeps the imgaug noise trio,
+    preserving the reference's op set and noise-before-jitter order.
     """
     if pixel_aug and not normalize:
         raise ValueError("pixel_aug requires normalize=True (raw images)")
     loss_fn = make_loss_fn(model, config, segmentation, normalize=normalize)
 
-    def core(state: TrainState, images, gt, n_gt, seg_maps, aug_key):
+    def core(state: TrainState, images, gt, n_gt, seg_maps, jitter_op,
+             jitter_factor):
         if pixel_aug:
             # jitter ONLY: the host keeps the full imgaug noise trio
             # (blur/median/sharpen/additive noise) applied BEFORE its
@@ -143,8 +146,9 @@ def make_train_step(
             # probabilities and noise-before-jitter order — moving the
             # noise here too would drop the blur family and re-gate the
             # noise at an independent p=0.5
-            from mobilenet_yolo_tpu.ops.device_augment import color_jitter
-            images = color_jitter(images, aug_key)
+            from mobilenet_yolo_tpu.ops.device_augment import \
+                planned_color_jitter
+            images = planned_color_jitter(images, jitter_op, jitter_factor)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_stats, metrics)), grads = grad_fn(
             state.params, state.batch_stats, images, gt, n_gt, seg_maps,
@@ -157,23 +161,27 @@ def make_train_step(
         return new_state, metrics
 
     # positional signature follows the enabled features: ...[, seg_maps]
-    # [, aug_key] — no optional-arg aliasing between the two
+    # [, jitter_op, jitter_factor] — no optional-arg aliasing between them
     if segmentation and pixel_aug:
-        def step(state, images, gt, n_gt, seg_maps, aug_key):
-            return core(state, images, gt, n_gt, seg_maps, aug_key)
+        def step(state, images, gt, n_gt, seg_maps, jitter_op,
+                 jitter_factor):
+            return core(state, images, gt, n_gt, seg_maps, jitter_op,
+                        jitter_factor)
     elif segmentation:
         def step(state, images, gt, n_gt, seg_maps):
-            return core(state, images, gt, n_gt, seg_maps, None)
+            return core(state, images, gt, n_gt, seg_maps, None, None)
     elif pixel_aug:
-        def step(state, images, gt, n_gt, aug_key):
-            return core(state, images, gt, n_gt, None, aug_key)
+        def step(state, images, gt, n_gt, jitter_op, jitter_factor):
+            return core(state, images, gt, n_gt, None, jitter_op,
+                        jitter_factor)
     else:
         def step(state, images, gt, n_gt):
-            return core(state, images, gt, n_gt, None, None)
+            return core(state, images, gt, n_gt, None, None, None)
 
     if mesh is not None:
-        return _mesh_jit(step, mesh, n_data=3 + int(segmentation),
-                         n_trailing_repl=int(pixel_aug))
+        # the jitter plans are per-image arrays — batch-sharded like the rest
+        return _mesh_jit(step, mesh,
+                         n_data=3 + int(segmentation) + 2 * int(pixel_aug))
     return jax.jit(step, donate_argnums=(0,))
 
 

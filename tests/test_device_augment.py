@@ -126,10 +126,63 @@ def test_pixel_aug_train_step_runs():
     images = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3)), jnp.uint8)
     gt = np.zeros((2, 3, 5), np.float32)
     gt[:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    from mobilenet_yolo_tpu.data import augment
+    plans = [augment.sample_photometric(rng) for _ in range(2)]
+    jop = jnp.asarray(np.stack([p[0] for p in plans]))
+    jfac = jnp.asarray(np.stack([p[1] for p in plans]))
     state, metrics = step(state, images, jnp.asarray(gt),
-                          jnp.asarray([1, 1], np.int32),
-                          jax.random.PRNGKey(5))
+                          jnp.asarray([1, 1], np.int32), jop, jfac)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_loader_plans_pixel_aug_matching_host(tmp_path, rng):
+    """A train Loader over a dataset with apply_photometric=False emits
+    host-planned jitter programs (op ORDER + factors from the host's own
+    sample_photometric), and applying them on device reproduces the host
+    apply_photometric pixels — the --device-pixel-aug path trains on the
+    reference's exact augmentation distribution (image_augmentation.py:
+    169-198), not a fixed-order approximation."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    from mobilenet_yolo_tpu.data.pipeline import DetectionDataset, Loader
+    from mobilenet_yolo_tpu.data.records import RecordReader, RecordWriter
+
+    d = str(tmp_path / "shard")
+    with RecordWriter(d) as w:
+        for i in range(6):
+            img = rng.integers(0, 255, (70, 90, 3), np.uint8)
+            ok, buf = cv2.imencode(".jpg", img)
+            w.append_record(buf.tobytes(),
+                            np.asarray([[1, 0.5, 0.5, 0.4, 0.5]], np.float32))
+
+    def load():
+        ds = DetectionDataset(RecordReader(d), phase="train",
+                              apply_noise=False, apply_photometric=False)
+        ld = Loader(ds, 3, [[64, 64]], [0.5] * 3, [1.0] * 3, seed=7,
+                    prefetch=0, output_uint8=True, shard_by_process=False)
+        return list(ld)
+
+    batches = load()
+    for batch in batches:
+        assert batch["jitter_op"].shape == (3, 5)
+        assert batch["jitter_factor"].shape == (3, 5)
+        dev_out = np.asarray(dev.planned_color_jitter(
+            jnp.asarray(batch["images"]), jnp.asarray(batch["jitter_op"]),
+            jnp.asarray(batch["jitter_factor"])))
+        for i in range(3):
+            host = host_aug.apply_photometric(
+                batch["images"][i].astype(np.float32),
+                batch["jitter_op"][i], batch["jitter_factor"][i])
+            np.testing.assert_allclose(dev_out[i], host, atol=0.5)
+    # some program applies at least one op across the epoch
+    assert any((b["jitter_op"] >= 0).any() for b in batches)
+    # plan determinism: same seed -> identical programs (resume safety)
+    again = load()
+    for b1, b2 in zip(batches, again):
+        np.testing.assert_array_equal(b1["jitter_op"], b2["jitter_op"])
+        np.testing.assert_array_equal(b1["jitter_factor"],
+                                      b2["jitter_factor"])
 
 
 def test_pixel_aug_requires_normalize():

@@ -60,6 +60,38 @@ def test_fit_runs_epochs_and_checkpoints(tmp_path):
     trainer2.ckpt.close()
 
 
+def test_train_epoch_device_pixel_aug(tmp_path):
+    """Trainer wiring for --device-pixel-aug: uint8 batches carrying
+    host-planned jitter programs (Loader._collate's jitter_op /
+    jitter_factor) drive the planned-order device jitter step."""
+    from mobilenet_yolo_tpu.data import augment
+
+    cfg = dict(CFG)
+    cfg["normalize"] = {"mean": [0.5] * 3, "std": [1.0] * 3}
+    model = MBv2YOLO(num_classes=3, num_anchors=3, width_mult=0.35)
+    tcfg = TrainerConfig(epochs=1, learning_rate=1e-3,
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         tensorboard_dir=None)
+    trainer = Trainer(model, cfg, ["background", "a", "b", "c"], tcfg,
+                      verbose=False, device_normalize=True,
+                      device_pixel_aug=True)
+
+    rng = np.random.default_rng(3)
+
+    def batches():
+        for images, gt, n_gt in synthetic_batches(
+                3, batch_size=4, img_size=64, num_classes=3, seed=5):
+            raw = np.clip((images + 0.5) * 255.0, 0, 255).astype(np.uint8)
+            plans = [augment.sample_photometric(rng) for _ in range(4)]
+            yield {"images": raw, "gt": gt, "n_gt": n_gt,
+                   "jitter_op": np.stack([p[0] for p in plans]),
+                   "jitter_factor": np.stack([p[1] for p in plans])}
+
+    avgs = trainer.train_epoch(batches(), 0)
+    assert np.isfinite(avgs["loss"])
+    trainer.ckpt.close()
+
+
 def test_fit_on_mesh_matches_single_device(tmp_path):
     """Full fit (train epochs + alternate-epoch mesh-sharded eval +
     checkpoint + resume) on the virtual 8-device mesh reproduces the
