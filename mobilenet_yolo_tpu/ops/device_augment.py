@@ -105,7 +105,8 @@ def color_jitter(images: jax.Array, key: jax.Array) -> jax.Array:
 
 
 def planned_color_jitter(images: jax.Array, op_ids: jax.Array,
-                         factors: jax.Array) -> jax.Array:
+                         factors: jax.Array,
+                         dtype=jnp.float32) -> jax.Array:
     """Host-PLANNED photometric distortion: exact reference semantics
     including the per-image random op ORDER (image_augmentation.py:169-198
     shuffles the five ops per image; the standalone :func:`color_jitter`
@@ -116,7 +117,12 @@ def planned_color_jitter(images: jax.Array, op_ids: jax.Array,
     factors (N, 5) f32 (hue: the delta in revolutions). Both come from
     ``data/augment.py:sample_photometric`` (the SAME sampler the host
     pixel path uses, so the distributions agree draw-for-draw). Returns
-    f32 in [0, 255], clipped after every op like the host's ``_blend``.
+    ``dtype`` in [0, 255], clipped after every op like the host's
+    ``_blend``. ``dtype=bfloat16`` (the --bf16 train path) halves the
+    bandwidth of the select passes; at [0, 255] range bf16's 8-bit
+    mantissa quantizes at ~1 intensity level — uint8-like, invisible to
+    augmentation. Reductions (the contrast mean) accumulate in f32, and
+    the single hue step keeps its HSV round-trip in f32.
 
     Cost: every candidate op is elementwise, so XLA fuses each program
     step into ~one memory pass — but the hue candidate's HSV round-trip
@@ -131,7 +137,7 @@ def planned_color_jitter(images: jax.Array, op_ids: jax.Array,
     split is derived here from the same (N, 5) program arrays; callers
     and the planner are unaffected.
     """
-    x = images.astype(jnp.float32)
+    x = images.astype(dtype)
     n, steps = op_ids.shape
 
     is_hue = op_ids == 3
@@ -164,8 +170,11 @@ def planned_color_jitter(images: jax.Array, op_ids: jax.Array,
                 ops, t, axis=1, keepdims=False)[:, None, None, None]
             f = jax.lax.dynamic_index_in_dim(
                 facs, t, axis=1, keepdims=False)[:, None, None, None]
+            f = f.astype(dtype)
             xb = jnp.clip(x * f, 0.0, 255.0)
-            mean = _luma(x).mean(axis=(1, 2))[:, None, None, None]
+            mean = jnp.mean(_luma(x), axis=(1, 2),
+                            dtype=jnp.float32).astype(
+                                dtype)[:, None, None, None]
             xc = jnp.clip(mean + f * (x - mean), 0.0, 255.0)
             gray = _luma(x)[..., None]
             xs = jnp.clip(gray + f * (x - gray), 0.0, 255.0)
@@ -177,10 +186,12 @@ def planned_color_jitter(images: jax.Array, op_ids: jax.Array,
         return jax.lax.fori_loop(0, ops.shape[1], body, x)
 
     x = cheap_phase(x, pre_ops, pre_f)
-    h, s, v = _rgb_to_hsv(x / 255.0)
+    # hue's HSV round-trip stays f32 (small channel differences divide)
+    xf = x.astype(jnp.float32)
+    h, s, v = _rgb_to_hsv(xf / 255.0)
     xh = jnp.clip(_hsv_to_rgb(
         (h + hue_delta[:, None, None]) % 1.0, s, v) * 255.0, 0.0, 255.0)
-    x = jnp.where(hue_gate[:, None, None, None], xh, x)
+    x = jnp.where(hue_gate[:, None, None, None], xh, xf).astype(dtype)
     return cheap_phase(x, post_ops, post_f)
 
 
@@ -254,7 +265,8 @@ def _axis_taps(out_size: int, in_size: int, src0, src1, dst0, dst1):
     return i0, i1, frac
 
 
-def _resample_bilinear(img, sr, dr, out_h: int, out_w: int, flip=None):
+def _resample_bilinear(img, sr, dr, out_h: int, out_w: int, flip=None,
+                       dtype=jnp.float32):
     """(out_h, out_w, 3) bilinear resample of img's src window ``sr`` onto
     the dst rect ``dr`` (both normalized [x1,y1,x2,y2]); rows/cols outside
     the dst rect hold edge-clamped garbage the caller masks away.
@@ -270,6 +282,8 @@ def _resample_bilinear(img, sr, dr, out_h: int, out_w: int, flip=None):
     if flip is not None:
         ix0 = jnp.where(flip, s_w - 1 - ix0, ix0)
         ix1 = jnp.where(flip, s_w - 1 - ix1, ix1)
+    fy = fy.astype(dtype)
+    fx = fx.astype(dtype)
     rows = (img[iy0] * (1.0 - fy)[:, None, None]
             + img[iy1] * fy[:, None, None])              # (out_h, s_w, 3)
     return (rows[:, ix0] * (1.0 - fx)[None, :, None]
@@ -287,12 +301,13 @@ def _rect_mask(rect, out_h: int, out_w: int):
 
 
 def _compose_one(slots, src_rect, dst_rect, fill_rect, fill_color,
-                 fill_from_mean, flip, active, out_h: int, out_w: int):
-    """Compose one output image (out_h, out_w, 3) f32 from its tiles."""
+                 fill_from_mean, flip, active, out_h: int, out_w: int,
+                 dtype=jnp.float32):
+    """Compose one output image (out_h, out_w, 3) ``dtype`` from tiles."""
     s_h, s_w = slots.shape[1], slots.shape[2]
-    out = jnp.zeros((out_h, out_w, 3), jnp.float32)
+    out = jnp.zeros((out_h, out_w, 3), dtype)
     for k in range(slots.shape[0]):
-        img = slots[k].astype(jnp.float32)
+        img = slots[k].astype(dtype)
         sr, dr = src_rect[k], dst_rect[k]
         # per-tile mean fill (mosaic): mean of the source window of the
         # (jittered, flipped) slot — reference :268 uses the resized
@@ -304,19 +319,24 @@ def _compose_one(slots, src_rect, dst_rect, fill_rect, fill_color,
                                        1.0 - sr[0], sr[3]]), sr)
         smask = _rect_mask(sr_mask, s_h, s_w)[..., None]
         cnt = jnp.maximum(smask.sum(), 1.0)
-        src_mean = (img * smask).sum(axis=(0, 1)) / cnt
-        fcol = jnp.where(fill_from_mean[k], src_mean, fill_color[k])
+        # window mean accumulates in f32 even under a bf16 compose
+        src_mean = jnp.sum(img * smask, axis=(0, 1),
+                           dtype=jnp.float32) / cnt
+        fcol = jnp.where(fill_from_mean[k], src_mean,
+                         fill_color[k]).astype(dtype)
         fmask = _rect_mask(fill_rect[k], out_h, out_w) & active[k]
         out = jnp.where(fmask[..., None], fcol, out)
         # paste: bilinear resample of the source window into the dst rect
         # (flip folded into the gather indices)
-        res = _resample_bilinear(img, sr, dr, out_h, out_w, flip=flip[k])
+        res = _resample_bilinear(img, sr, dr, out_h, out_w, flip=flip[k],
+                                 dtype=dtype)
         pmask = _rect_mask(dr, out_h, out_w) & active[k]
         out = jnp.where(pmask[..., None], res, out)
     return out
 
 
-def slot_noise(slots, key, gate, scale, per_channel) -> jax.Array:
+def slot_noise(slots, key, gate, scale, per_channel,
+               dtype=jnp.float32) -> jax.Array:
     """Additive gaussian noise per staged source slot — the device half of
     the host's deferred imgaug AdditiveGaussianNoise op
     (data/augment.py:pixel_noise(defer_noise=True)): the host samples
@@ -324,9 +344,10 @@ def slot_noise(slots, key, gate, scale, per_channel) -> jax.Array:
     gaussians.
 
     slots (B, T, S, S, 3) uint8/f32; gate/per_channel (B, T) bool;
-    scale (B, T) f32 in [0, 255] units. Returns f32 [0, 255].
+    scale (B, T) f32 in [0, 255] units. Returns ``dtype`` [0, 255]
+    (bf16 under --bf16 halves the noise field's bandwidth).
     """
-    x = slots.astype(jnp.float32)
+    x = slots.astype(dtype)
     # draw the ~600k gaussians/image with the fast rbg bit generator
     # instead of threefry (1.5x cheaper here; augmentation noise needs
     # bulk statistical quality, not counter-stable streams — the key
@@ -336,7 +357,7 @@ def slot_noise(slots, key, gate, scale, per_channel) -> jax.Array:
         key = jax.random.wrap_key_data(
             jnp.concatenate([kd, kd], axis=-1).astype(jnp.uint32),
             impl="unsafe_rbg")
-    n3 = jax.random.normal(key, x.shape)
+    n3 = jax.random.normal(key, x.shape, dtype=dtype)
     # shared-plane draw: channel 0 of the per-channel field doubles as the
     # per-pixel plane (each slot takes exactly one branch, so the reuse
     # never correlates values within an output; halves the RNG bill, the
@@ -344,7 +365,7 @@ def slot_noise(slots, key, gate, scale, per_channel) -> jax.Array:
     n1 = n3[..., :1]
     pc = per_channel[:, :, None, None, None]
     g = gate[:, :, None, None, None]
-    noise = jnp.where(pc, n3, n1) * scale[:, :, None, None, None]
+    noise = jnp.where(pc, n3, n1) * scale[:, :, None, None, None].astype(dtype)
     return jnp.clip(jnp.where(g, x + noise, x), 0.0, 255.0)
 
 
@@ -408,7 +429,8 @@ def seg_compose(seg_slots, src_rect, dst_rect, flip, seg_active,
 
 def geometric_compose(slots, src_rect, dst_rect, fill_rect, fill_color,
                       fill_from_mean, flip, active, out_hw,
-                      jitter_op=None, jitter_factor=None) -> jax.Array:
+                      jitter_op=None, jitter_factor=None,
+                      dtype=jnp.float32) -> jax.Array:
     """Batched device-side geometric augmentation.
 
     slots (B, 4, S, S, 3) uint8 staged sources; rects (B, 4, 4) f32
@@ -421,18 +443,21 @@ def geometric_compose(slots, src_rect, dst_rect, fill_rect, fill_color,
     reference jitters each mosaic source independently, transform_od
     :279-334 applied per image in folder2lmdb.py:131-135, with the op
     order shuffled per image, image_augmentation.py:169-198).
-    Returns (B, H, W, 3) float32 in [0, 255].
+    Returns (B, H, W, 3) ``dtype`` in [0, 255] — bf16 under --bf16 halves
+    the aug stages' bandwidth (they feed a bf16 forward anyway; bf16
+    quantizes [0,255] at ~1 intensity level, i.e. uint8-like).
     """
     b, t = slots.shape[0], slots.shape[1]
     if jitter_op is not None:
         s = slots.shape[2:]
         flat = slots.reshape((b * t,) + s)
         flat = planned_color_jitter(flat, jitter_op.reshape(b * t, -1),
-                                    jitter_factor.reshape(b * t, -1))
+                                    jitter_factor.reshape(b * t, -1),
+                                    dtype=dtype)
         slots = flat.reshape((b, t) + s)
     out_h, out_w = int(out_hw[0]), int(out_hw[1])
     return jax.vmap(
-        lambda *a: _compose_one(*a, out_h, out_w)
+        lambda *a: _compose_one(*a, out_h, out_w, dtype=dtype)
     )(slots, src_rect, dst_rect, fill_rect, fill_color, fill_from_mean,
       flip, active)
 

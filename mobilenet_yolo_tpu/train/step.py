@@ -73,8 +73,13 @@ def make_loss_fn(model, config: dict, segmentation: bool = False,
 
     def loss_fn(params, batch_stats, images, gt, n_gt, seg_maps=None, train=True):
         if normalize:
-            images = (images.astype(jnp.float32) / 255.0
-                      - norm_mean) / norm_std
+            # uint8 input normalizes in f32 (host-parity numerics); a
+            # float input (e.g. the bf16 aug stages' output) keeps its
+            # dtype — it feeds a same-dtype forward anyway
+            dt = (images.dtype if jnp.issubdtype(images.dtype, jnp.floating)
+                  else jnp.float32)
+            images = (images.astype(dt) / 255.0
+                      - norm_mean.astype(dt)) / norm_std.astype(dt)
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             outputs, mutated = model.apply(variables, images, train=True,
@@ -148,7 +153,9 @@ def make_train_step(
             # noise at an independent p=0.5
             from mobilenet_yolo_tpu.ops.device_augment import \
                 planned_color_jitter
-            images = planned_color_jitter(images, jitter_op, jitter_factor)
+            images = planned_color_jitter(
+                images, jitter_op, jitter_factor,
+                dtype=getattr(model, "dtype", None) or jnp.float32)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_stats, metrics)), grads = grad_fn(
             state.params, state.batch_stats, images, gt, n_gt, seg_maps,
@@ -214,6 +221,10 @@ def make_geometry_train_step(model, config: dict,
     loss_fn = make_loss_fn(model, config, segmentation=segmentation,
                            normalize=True)
     seg_classes = int(config.get("seg", {}).get("num_classes", 0))
+    # the aug stages run in the model's compute dtype: under --bf16 they
+    # feed a bf16 forward anyway, and bf16 halves their bandwidth bill
+    # (reductions and the hue round-trip stay f32 inside the ops)
+    aug_dtype = getattr(model, "dtype", None) or jnp.float32
 
     def build(out_hw):
         def core(state, slots, src_rect, dst_rect, fill_rect, fill_color,
@@ -225,11 +236,12 @@ def make_geometry_train_step(model, config: dict,
             # the jitter itself is fully host-planned (op order + factors,
             # data/geometry.py), so aug_key only feeds the noise draw
             slots = slot_noise(slots, aug_key, noise_gate, noise_scale,
-                               noise_per_channel)
+                               noise_per_channel, dtype=aug_dtype)
             images = geometric_compose(
                 slots, src_rect, dst_rect, fill_rect, fill_color,
                 fill_from_mean, flip, active, out_hw,
-                jitter_op=jitter_op, jitter_factor=jitter_factor)
+                jitter_op=jitter_op, jitter_factor=jitter_factor,
+                dtype=aug_dtype)
             seg_maps = None
             if segmentation:
                 seg_maps = seg_compose(

@@ -97,6 +97,36 @@ def test_compose_expand_fill_and_resample(rng):
     assert np.abs(out[8:24, 8:24] - ref).max() <= 0.51
 
 
+def test_compose_bf16_close_to_f32(rng):
+    """dtype=bfloat16 (the --bf16 aug path) tracks the f32 compose+jitter
+    within ~1 intensity level — bf16's 8-bit mantissa quantizes [0,255]
+    uint8-like, so the bandwidth halving is augmentation-invisible."""
+    from mobilenet_yolo_tpu.data.augment import sample_photometric
+
+    S = 32
+    nprng = np.random.default_rng(9)
+    slots = nprng.integers(0, 255, (4, S, S, 3), np.uint8)
+    src = np.tile(np.float32([0.1, 0.05, 0.9, 0.95]), (4, 1))
+    dst = np.float32([[0, 0, .5, .5], [.5, 0, 1, .5],
+                      [0, .5, .5, 1], [.5, .5, 1, 1]])
+    act = np.ones(4, bool)
+    flip = np.asarray([True, False, True, False])
+    plans = [sample_photometric(nprng) for _ in range(4)]
+    jop = jnp.asarray(np.stack([p[0] for p in plans])[None])
+    jfac = jnp.asarray(np.stack([p[1] for p in plans])[None])
+    args = _compose_args(slots, src, dst, dst, GRAY,
+                         np.ones(4, bool), flip, act)
+    f32 = np.asarray(geometric_compose(
+        *args, (S, S), jitter_op=jop, jitter_factor=jfac))
+    b16 = np.asarray(geometric_compose(
+        *args, (S, S), jitter_op=jop, jitter_factor=jfac,
+        dtype=jnp.bfloat16).astype(jnp.float32))
+    assert b16.dtype == np.float32
+    # per-op quantization ~0.5-1 level compounds over a planned chain
+    assert np.abs(b16 - f32).max() <= 4.0
+    assert np.abs(b16 - f32).mean() < 0.5
+
+
 def test_compose_mosaic_mean_fill(rng):
     """fill_from_mean paints the tile with the source-window mean."""
     S = 16
