@@ -266,15 +266,19 @@ def _axis_taps(out_size: int, in_size: int, src0, src1, dst0, dst1):
 
 
 def _resample_bilinear(img, sr, dr, out_h: int, out_w: int, flip=None,
-                       dtype=jnp.float32):
+                       dtype=jnp.float32, planar: bool = False):
     """(out_h, out_w, 3) bilinear resample of img's src window ``sr`` onto
     the dst rect ``dr`` (both normalized [x1,y1,x2,y2]); rows/cols outside
     the dst rect hold edge-clamped garbage the caller masks away.
 
     ``flip`` (traced bool): sample the horizontally-mirrored image — folded
     into the x gather indices (img_flipped[i] == img[W-1-i]) instead of
-    materializing a flipped copy per tile."""
-    s_h, s_w = img.shape[0], img.shape[1]
+    materializing a flipped copy per tile.
+
+    ``planar``: img is (3, S, S) channel-planar (the fused Pallas aug
+    kernel's output layout, kernels/pallas_aug.py); output stays HWC."""
+    s_h, s_w = (img.shape[1], img.shape[2]) if planar else \
+        (img.shape[0], img.shape[1])
     iy0, iy1, fy = _axis_taps(out_h, s_h, sr[1] * s_h, sr[3] * s_h,
                               dr[1] * out_h, dr[3] * out_h)
     ix0, ix1, fx = _axis_taps(out_w, s_w, sr[0] * s_w, sr[2] * s_w,
@@ -284,6 +288,12 @@ def _resample_bilinear(img, sr, dr, out_h: int, out_w: int, flip=None,
         ix1 = jnp.where(flip, s_w - 1 - ix1, ix1)
     fy = fy.astype(dtype)
     fx = fx.astype(dtype)
+    if planar:
+        rows = (img[:, iy0] * (1.0 - fy)[None, :, None]
+                + img[:, iy1] * fy[None, :, None])       # (3, out_h, s_w)
+        res = (rows[:, :, ix0] * (1.0 - fx)[None, None, :]
+               + rows[:, :, ix1] * fx[None, None, :])    # (3, out_h, out_w)
+        return jnp.moveaxis(res, 0, -1)                  # HWC
     rows = (img[iy0] * (1.0 - fy)[:, None, None]
             + img[iy1] * fy[:, None, None])              # (out_h, s_w, 3)
     return (rows[:, ix0] * (1.0 - fx)[None, :, None]
@@ -302,9 +312,12 @@ def _rect_mask(rect, out_h: int, out_w: int):
 
 def _compose_one(slots, src_rect, dst_rect, fill_rect, fill_color,
                  fill_from_mean, flip, active, out_h: int, out_w: int,
-                 dtype=jnp.float32):
-    """Compose one output image (out_h, out_w, 3) ``dtype`` from tiles."""
-    s_h, s_w = slots.shape[1], slots.shape[2]
+                 dtype=jnp.float32, planar: bool = False):
+    """Compose one output image (out_h, out_w, 3) ``dtype`` from tiles.
+
+    ``planar``: slots are (T, 3, S, S) (fused-kernel layout)."""
+    s_h, s_w = (slots.shape[2], slots.shape[3]) if planar else \
+        (slots.shape[1], slots.shape[2])
     out = jnp.zeros((out_h, out_w, 3), dtype)
     for k in range(slots.shape[0]):
         img = slots[k].astype(dtype)
@@ -317,11 +330,15 @@ def _compose_one(slots, src_rect, dst_rect, fill_rect, fill_color,
         sr_mask = jnp.where(flip[k],
                             jnp.stack([1.0 - sr[2], sr[1],
                                        1.0 - sr[0], sr[3]]), sr)
-        smask = _rect_mask(sr_mask, s_h, s_w)[..., None]
+        smask = _rect_mask(sr_mask, s_h, s_w)
         cnt = jnp.maximum(smask.sum(), 1.0)
         # window mean accumulates in f32 even under a bf16 compose
-        src_mean = jnp.sum(img * smask, axis=(0, 1),
-                           dtype=jnp.float32) / cnt
+        if planar:
+            src_mean = jnp.sum(img * smask[None], axis=(1, 2),
+                               dtype=jnp.float32) / cnt
+        else:
+            src_mean = jnp.sum(img * smask[..., None], axis=(0, 1),
+                               dtype=jnp.float32) / cnt
         fcol = jnp.where(fill_from_mean[k], src_mean,
                          fill_color[k]).astype(dtype)
         fmask = _rect_mask(fill_rect[k], out_h, out_w) & active[k]
@@ -329,7 +346,7 @@ def _compose_one(slots, src_rect, dst_rect, fill_rect, fill_color,
         # paste: bilinear resample of the source window into the dst rect
         # (flip folded into the gather indices)
         res = _resample_bilinear(img, sr, dr, out_h, out_w, flip=flip[k],
-                                 dtype=dtype)
+                                 dtype=dtype, planar=planar)
         pmask = _rect_mask(dr, out_h, out_w) & active[k]
         out = jnp.where(pmask[..., None], res, out)
     return out
@@ -367,6 +384,64 @@ def slot_noise(slots, key, gate, scale, per_channel,
     g = gate[:, :, None, None, None]
     noise = jnp.where(pc, n3, n1) * scale[:, :, None, None, None].astype(dtype)
     return jnp.clip(jnp.where(g, x + noise, x), 0.0, 255.0)
+
+
+def fused_aug_compose(slots, src_rect, dst_rect, fill_rect, fill_color,
+                      fill_from_mean, flip, active, out_hw,
+                      noise_gate, noise_scale, noise_per_channel,
+                      jitter_op, jitter_factor, aug_key,
+                      dtype=jnp.float32, mesh=None,
+                      interpret: bool = False) -> jax.Array:
+    """slot_noise + planned_color_jitter + geometric_compose with the two
+    pixel stages fused into ONE HBM pass (kernels/pallas_aug.py) instead
+    of ~10 XLA memory passes over the (B, 4, S, S, 3) slots.
+
+    Same arguments as the separate stages; ``aug_key`` seeds the kernel's
+    on-core PRNG (a different — still deterministic — gaussian stream than
+    the XLA path's, see the kernel docstring). Under a ``mesh`` the kernel
+    is shard_mapped over the ``data`` axis (GSPMD cannot partition an
+    opaque pallas_call), with the seed decorrelated per shard; everything
+    around it stays GSPMD. ``interpret=True`` runs the kernel in
+    interpreter mode (CPU tests)."""
+    from mobilenet_yolo_tpu.kernels.pallas_aug import fused_slot_aug
+
+    b, t, s_h, s_w = slots.shape[:4]
+    seed = jax.random.key_data(aug_key).ravel()[-1].astype(jnp.int32)
+    planar = jnp.transpose(slots, (0, 1, 4, 2, 3))   # (B, T, 3, S, S)
+
+    def body(planar, seed, gate, scale, pc, ops, facs):
+        n = planar.shape[0] * t
+        # the kernel emits bf16 regardless of the compose dtype: it halves
+        # the compose's slot-read traffic, and bf16 quantizes [0, 255] at
+        # ~0.25-0.5 intensity — FINER than the uint8 staging the slots
+        # just came from (the compose's lerps still run in ``dtype``)
+        out = fused_slot_aug(
+            planar.reshape(n, 3, s_h, s_w), seed, gate.reshape(n),
+            scale.reshape(n), pc.reshape(n), ops.reshape(n, -1),
+            facs.reshape(n, -1), dtype=jnp.bfloat16, interpret=interpret)
+        return out.reshape(planar.shape[0], t, 3, s_h, s_w)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        def sharded_body(planar, seed, gate, scale, pc, ops, facs):
+            # decorrelate the per-slot noise streams across shards (the
+            # kernel hashes the shard-LOCAL slot index)
+            seed = seed + jax.lax.axis_index("data").astype(
+                jnp.int32) * jnp.int32(101159)
+            return body(planar, seed, gate, scale, pc, ops, facs)
+
+        d = P("data")
+        aug = jax.shard_map(sharded_body, mesh=mesh,
+                            in_specs=(d, P(), d, d, d, d, d), out_specs=d,
+                            check_vma=False)  # pallas outputs carry no vma
+    else:
+        aug = body
+    slots_p = aug(planar, seed, noise_gate, noise_scale, noise_per_channel,
+                  jitter_op, jitter_factor)
+    return geometric_compose(slots_p, src_rect, dst_rect, fill_rect,
+                             fill_color, fill_from_mean, flip, active,
+                             out_hw, dtype=dtype, planar=True)
 
 
 def _axis_weights_area(out_size: int, in_size: int, src0, src1, dst0, dst1):
@@ -430,7 +505,7 @@ def seg_compose(seg_slots, src_rect, dst_rect, flip, seg_active,
 def geometric_compose(slots, src_rect, dst_rect, fill_rect, fill_color,
                       fill_from_mean, flip, active, out_hw,
                       jitter_op=None, jitter_factor=None,
-                      dtype=jnp.float32) -> jax.Array:
+                      dtype=jnp.float32, planar: bool = False) -> jax.Array:
     """Batched device-side geometric augmentation.
 
     slots (B, 4, S, S, 3) uint8 staged sources; rects (B, 4, 4) f32
@@ -446,9 +521,14 @@ def geometric_compose(slots, src_rect, dst_rect, fill_rect, fill_color,
     Returns (B, H, W, 3) ``dtype`` in [0, 255] — bf16 under --bf16 halves
     the aug stages' bandwidth (they feed a bf16 forward anyway; bf16
     quantizes [0,255] at ~1 intensity level, i.e. uint8-like).
+
+    ``planar=True``: slots arrive as (B, 4, 3, S, S) float, already
+    noise+jittered by the fused Pallas kernel (kernels/pallas_aug.py);
+    ``jitter_op`` must be None (the kernel applied the programs).
     """
     b, t = slots.shape[0], slots.shape[1]
     if jitter_op is not None:
+        assert not planar, "planar slots are pre-jittered by the kernel"
         s = slots.shape[2:]
         flat = slots.reshape((b * t,) + s)
         flat = planned_color_jitter(flat, jitter_op.reshape(b * t, -1),
@@ -457,7 +537,8 @@ def geometric_compose(slots, src_rect, dst_rect, fill_rect, fill_color,
         slots = flat.reshape((b, t) + s)
     out_h, out_w = int(out_hw[0]), int(out_hw[1])
     return jax.vmap(
-        lambda *a: _compose_one(*a, out_h, out_w, dtype=dtype)
+        lambda *a: _compose_one(*a, out_h, out_w, dtype=dtype,
+                                planar=planar)
     )(slots, src_rect, dst_rect, fill_rect, fill_color, fill_from_mean,
       flip, active)
 

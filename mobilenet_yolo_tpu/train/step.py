@@ -200,7 +200,8 @@ GEOMETRY_BATCH_KEYS = ("slots", "src_rect", "dst_rect", "fill_rect",
 
 def make_geometry_train_step(model, config: dict,
                              tx: optax.GradientTransformation,
-                             mesh=None, segmentation: bool = False) -> Callable:
+                             mesh=None, segmentation: bool = False,
+                             fused_aug: bool | str | None = None) -> Callable:
     """Train step with the WHOLE augmentation pipeline on device.
 
     Returns ``step(state, *geom_arrays, gt, n_gt, aug_key, out_hw=(H, W))``
@@ -213,11 +214,21 @@ def make_geometry_train_step(model, config: dict,
     the usual forward/loss/backward/update — one XLA program per output
     size bucket (``out_hw`` selects it; multiscale = a handful of caches,
     exactly like the shape-bucketed plain step).
+
+    ``fused_aug``: run the noise + jitter stages as ONE fused Pallas
+    kernel (kernels/pallas_aug.py — a single HBM pass over the slots
+    instead of ~10 XLA passes). ``None`` (default) = auto: on when the
+    backend is TPU; ``False`` = always the XLA ops (CPU, and the
+    reference implementation the kernel is tested against);
+    ``"interpret"`` = kernel in interpreter mode (CPU tests).
     """
-    from mobilenet_yolo_tpu.ops.device_augment import (geometric_compose,
+    from mobilenet_yolo_tpu.ops.device_augment import (fused_aug_compose,
+                                                       geometric_compose,
                                                        seg_compose,
                                                        slot_noise)
 
+    if fused_aug is None:
+        fused_aug = jax.default_backend() == "tpu"
     loss_fn = make_loss_fn(model, config, segmentation=segmentation,
                            normalize=True)
     seg_classes = int(config.get("seg", {}).get("num_classes", 0))
@@ -235,13 +246,26 @@ def make_geometry_train_step(model, config: dict,
             # before transform_od's photometric (folder2lmdb.py:131-135);
             # the jitter itself is fully host-planned (op order + factors,
             # data/geometry.py), so aug_key only feeds the noise draw
-            slots = slot_noise(slots, aug_key, noise_gate, noise_scale,
-                               noise_per_channel, dtype=aug_dtype)
-            images = geometric_compose(
-                slots, src_rect, dst_rect, fill_rect, fill_color,
-                fill_from_mean, flip, active, out_hw,
-                jitter_op=jitter_op, jitter_factor=jitter_factor,
-                dtype=aug_dtype)
+            if fused_aug:
+                # the fused path runs bf16 END-TO-END even under an f32
+                # model: staged pixels are uint8-quantized anyway and bf16
+                # resolves [0, 255] at ~0.25-0.5 intensity, while halving
+                # the aug stages' HBM traffic and doubling VPU throughput;
+                # normalize upcasts against the f32 mean/std constants
+                images = fused_aug_compose(
+                    slots, src_rect, dst_rect, fill_rect, fill_color,
+                    fill_from_mean, flip, active, out_hw,
+                    noise_gate, noise_scale, noise_per_channel,
+                    jitter_op, jitter_factor, aug_key, dtype=jnp.bfloat16,
+                    mesh=mesh, interpret=fused_aug == "interpret")
+            else:
+                slots = slot_noise(slots, aug_key, noise_gate, noise_scale,
+                                   noise_per_channel, dtype=aug_dtype)
+                images = geometric_compose(
+                    slots, src_rect, dst_rect, fill_rect, fill_color,
+                    fill_from_mean, flip, active, out_hw,
+                    jitter_op=jitter_op, jitter_factor=jitter_factor,
+                    dtype=aug_dtype)
             seg_maps = None
             if segmentation:
                 seg_maps = seg_compose(
