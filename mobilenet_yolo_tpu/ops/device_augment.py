@@ -391,10 +391,16 @@ def fused_aug_compose(slots, src_rect, dst_rect, fill_rect, fill_color,
                       noise_gate, noise_scale, noise_per_channel,
                       jitter_op, jitter_factor, aug_key,
                       dtype=jnp.float32, mesh=None,
-                      interpret: bool = False) -> jax.Array:
-    """slot_noise + planned_color_jitter + geometric_compose with the two
-    pixel stages fused into ONE HBM pass (kernels/pallas_aug.py) instead
-    of ~10 XLA memory passes over the (B, 4, S, S, 3) slots.
+                      interpret: bool = False,
+                      full: bool = True) -> jax.Array:
+    """slot_noise + planned_color_jitter + geometric_compose fused into
+    Pallas (kernels/pallas_aug.py) instead of ~10 XLA memory passes over
+    the (B, 4, S, S, 3) slots.
+
+    ``full=True`` (default): noise + jitter + the WHOLE geometric compose
+    in one kernel — one program per output image, two-tap resample as MXU
+    two-hot matmuls, inactive tiles skipped by real branches.
+    ``full=False``: per-slot noise+jitter kernel, compose as XLA gathers.
 
     Same arguments as the separate stages; ``aug_key`` seeds the kernel's
     on-core PRNG (a different — still deterministic — gaussian stream than
@@ -403,43 +409,61 @@ def fused_aug_compose(slots, src_rect, dst_rect, fill_rect, fill_color,
     opaque pallas_call), with the seed decorrelated per shard; everything
     around it stays GSPMD. ``interpret=True`` runs the kernel in
     interpreter mode (CPU tests)."""
-    from mobilenet_yolo_tpu.kernels.pallas_aug import fused_slot_aug
+    from mobilenet_yolo_tpu.kernels.pallas_aug import (
+        fused_aug_compose_kernel, fused_slot_aug)
 
     b, t, s_h, s_w = slots.shape[:4]
     seed = jax.random.key_data(aug_key).ravel()[-1].astype(jnp.int32)
     planar = jnp.transpose(slots, (0, 1, 4, 2, 3))   # (B, T, 3, S, S)
 
-    def body(planar, seed, gate, scale, pc, ops, facs):
-        n = planar.shape[0] * t
-        # the kernel emits bf16 regardless of the compose dtype: it halves
-        # the compose's slot-read traffic, and bf16 quantizes [0, 255] at
-        # ~0.25-0.5 intensity — FINER than the uint8 staging the slots
-        # just came from (the compose's lerps still run in ``dtype``)
-        out = fused_slot_aug(
-            planar.reshape(n, 3, s_h, s_w), seed, gate.reshape(n),
-            scale.reshape(n), pc.reshape(n), ops.reshape(n, -1),
-            facs.reshape(n, -1), dtype=jnp.bfloat16, interpret=interpret)
-        return out.reshape(planar.shape[0], t, 3, s_h, s_w)
+    # the kernels emit bf16 regardless of the compose dtype: it halves
+    # the downstream read traffic, and bf16 quantizes [0, 255] at
+    # ~0.25-0.5 intensity — FINER than the uint8 staging the slots
+    # just came from
+    if full:
+        def body(planar, seed, gate, scale, pc, ops, facs, *geo):
+            out = fused_aug_compose_kernel(
+                planar, seed, gate, scale, pc, ops, facs, *geo,
+                out_hw=out_hw, dtype=jnp.bfloat16, interpret=interpret)
+            return jnp.transpose(out, (0, 2, 3, 1))   # NHWC
+        # the per-image geometry plans ride through shard_map as explicit
+        # batch-sharded args (a closure capture would read shard 0's rows
+        # on every device)
+        geo = (src_rect, dst_rect, fill_rect, fill_color, fill_from_mean,
+               flip, active)
+    else:
+        def body(planar, seed, gate, scale, pc, ops, facs):
+            n = planar.shape[0] * t
+            out = fused_slot_aug(
+                planar.reshape(n, 3, s_h, s_w), seed, gate.reshape(n),
+                scale.reshape(n), pc.reshape(n), ops.reshape(n, -1),
+                facs.reshape(n, -1), dtype=jnp.bfloat16,
+                interpret=interpret)
+            return out.reshape(planar.shape[0], t, 3, s_h, s_w)
+        geo = ()
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
-        def sharded_body(planar, seed, gate, scale, pc, ops, facs):
+        def sharded_body(planar, seed, gate, scale, pc, ops, facs, *geo):
             # decorrelate the per-slot noise streams across shards (the
             # kernel hashes the shard-LOCAL slot index)
             seed = seed + jax.lax.axis_index("data").astype(
                 jnp.int32) * jnp.int32(101159)
-            return body(planar, seed, gate, scale, pc, ops, facs)
+            return body(planar, seed, gate, scale, pc, ops, facs, *geo)
 
         d = P("data")
         aug = jax.shard_map(sharded_body, mesh=mesh,
-                            in_specs=(d, P(), d, d, d, d, d), out_specs=d,
+                            in_specs=(d, P()) + (d,) * (5 + len(geo)),
+                            out_specs=d,
                             check_vma=False)  # pallas outputs carry no vma
     else:
         aug = body
-    slots_p = aug(planar, seed, noise_gate, noise_scale, noise_per_channel,
-                  jitter_op, jitter_factor)
-    return geometric_compose(slots_p, src_rect, dst_rect, fill_rect,
+    out = aug(planar, seed, noise_gate, noise_scale, noise_per_channel,
+              jitter_op, jitter_factor, *geo)
+    if full:
+        return out.astype(dtype)
+    return geometric_compose(out, src_rect, dst_rect, fill_rect,
                              fill_color, fill_from_mean, flip, active,
                              out_hw, dtype=dtype, planar=True)
 

@@ -215,12 +215,15 @@ def make_geometry_train_step(model, config: dict,
     size bucket (``out_hw`` selects it; multiscale = a handful of caches,
     exactly like the shape-bucketed plain step).
 
-    ``fused_aug``: run the noise + jitter stages as ONE fused Pallas
-    kernel (kernels/pallas_aug.py — a single HBM pass over the slots
-    instead of ~10 XLA passes). ``None`` (default) = auto: on when the
-    backend is TPU; ``False`` = always the XLA ops (CPU, and the
-    reference implementation the kernel is tested against);
-    ``"interpret"`` = kernel in interpreter mode (CPU tests).
+    ``fused_aug``: run the pixel-aug stages as fused Pallas kernels
+    (kernels/pallas_aug.py) instead of ~10 XLA memory passes over the
+    slots. ``None`` (default) = auto: on when the backend is TPU;
+    ``True`` = the FULL kernel (noise + jitter + geometric compose in
+    one program per output image); ``"split"`` = per-slot noise+jitter
+    kernel with the XLA compose; ``False`` = always the XLA ops (CPU,
+    and the reference implementation the kernels are tested against);
+    ``"interpret"`` / ``"interpret-split"`` = the same in interpreter
+    mode (CPU tests).
     """
     from mobilenet_yolo_tpu.ops.device_augment import (fused_aug_compose,
                                                        geometric_compose,
@@ -257,7 +260,9 @@ def make_geometry_train_step(model, config: dict,
                     fill_from_mean, flip, active, out_hw,
                     noise_gate, noise_scale, noise_per_channel,
                     jitter_op, jitter_factor, aug_key, dtype=jnp.bfloat16,
-                    mesh=mesh, interpret=fused_aug == "interpret")
+                    mesh=mesh,
+                    interpret=fused_aug in ("interpret", "interpret-split"),
+                    full=fused_aug in (True, "interpret"))
             else:
                 slots = slot_noise(slots, aug_key, noise_gate, noise_scale,
                                    noise_per_channel, dtype=aug_dtype)

@@ -167,11 +167,13 @@ def _geom_batch_via_planner(rng, b, s):
     return batch
 
 
-@pytest.mark.parametrize("mesh_mode", [False, True])
-def test_geometry_step_fused_runs(rng, mesh_mode):
-    """make_geometry_train_step(fused_aug='interpret') runs end-to-end
-    (single device and shard_mapped over the virtual 8-device mesh) and
-    moves params."""
+@pytest.mark.parametrize("mesh_mode,fused_mode",
+                         [(False, "interpret"), (True, "interpret"),
+                          (True, "interpret-split")])
+def test_geometry_step_fused_runs(rng, mesh_mode, fused_mode):
+    """make_geometry_train_step with the fused kernels (full and split)
+    runs end-to-end (single device and shard_mapped over the virtual
+    8-device mesh) and moves params."""
     from mobilenet_yolo_tpu.models import MBv2YOLO
     from mobilenet_yolo_tpu.parallel.mesh import create_mesh, shard_batch
     from mobilenet_yolo_tpu.train.state import create_train_state
@@ -196,7 +198,7 @@ def test_geometry_step_fused_runs(rng, mesh_mode):
     batch = _geom_batch_via_planner(rng, b, s)
     mesh = create_mesh(n_data=8) if mesh_mode else None
     step = make_geometry_train_step(model, cfg, tx, mesh=mesh,
-                                    fused_aug="interpret")
+                                    fused_aug=fused_mode)
     geom = tuple(jnp.asarray(batch[k]) for k in GEOMETRY_BATCH_KEYS)
     if mesh is not None:
         geom = shard_batch(mesh, geom)
@@ -209,10 +211,14 @@ def test_geometry_step_fused_runs(rng, mesh_mode):
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
-def test_fused_aug_compose_matches_xla_pixels(rng):
-    """fused_aug_compose (bf16 end-to-end, as the step wires it) == the
-    XLA stages to bf16 quantization: max ~2-3 intensity of 255 (two lerp
-    stages at bf16), mean <0.5. Noise off (different streams)."""
+@pytest.mark.parametrize("full", [True, False])
+def test_fused_aug_compose_matches_xla_pixels(rng, full):
+    """fused_aug_compose (bf16 end-to-end, as the step wires it; both the
+    full aug+compose kernel and the split kernel+XLA-compose) == the XLA
+    stages to bf16 quantization: max ~2-3 intensity of 255 (two lerp
+    stages at bf16), mean <0.5. Noise off (different streams). The
+    planner batch mixes 1-tile and 4-tile images, so the full kernel's
+    per-tile active branching and mean-fill are exercised."""
     from mobilenet_yolo_tpu.ops.device_augment import (fused_aug_compose,
                                                        geometric_compose,
                                                        slot_noise)
@@ -227,7 +233,7 @@ def test_fused_aug_compose_matches_xla_pixels(rng):
         gb["fill_color"], gb["fill_from_mean"], gb["flip"], gb["active"],
         (s, s), gb["noise_gate"], gb["noise_scale"],
         gb["noise_per_channel"], gb["jitter_op"], gb["jitter_factor"],
-        key, dtype=jnp.bfloat16, interpret=True)
+        key, dtype=jnp.bfloat16, interpret=True, full=full)
     sl = slot_noise(gb["slots"], key, gb["noise_gate"], gb["noise_scale"],
                     gb["noise_per_channel"])
     ref = geometric_compose(

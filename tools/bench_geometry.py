@@ -68,9 +68,11 @@ def main():
     parser.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
     parser.add_argument("--stages", action="store_true",
                         help="also time the aug stages in isolation")
-    parser.add_argument("--fused", choices=["auto", "on", "off"],
+    parser.add_argument("--fused", choices=["auto", "on", "split", "off"],
                         default="auto",
-                        help="fused Pallas aug kernel in the geometry step")
+                        help="fused Pallas aug kernel in the geometry step "
+                             "(on=full aug+compose kernel, split=per-slot "
+                             "kernel + XLA compose)")
     args = parser.parse_args()
 
     import jax
@@ -141,7 +143,8 @@ def main():
     results["plain_step"] = timed("plain train step", run_plain,
                                   state_arg=None)
 
-    fused = {"auto": None, "on": True, "off": False}[args.fused]
+    fused = {"auto": None, "on": True, "split": "split",
+             "off": False}[args.fused]
     gstep = make_geometry_train_step(model, cfg, tx, fused_aug=fused)
 
     def run_geom(x, _):
@@ -201,9 +204,9 @@ def main():
                     gb["flip"], gb["active"], (s, s), gb["noise_gate"],
                     gb["noise_scale"], gb["noise_per_channel"],
                     gb["jitter_op"], gb["jitter_factor"], key,
-                    dtype=aug_dtype).sum()
+                    dtype=aug_dtype, full=fused in (True, None)).sum()
             results["stage_fused_total_ms"] = timed(
-                "fused kernel + compose", stage_fused, state_arg=None)
+                "fused aug (+compose)", stage_fused, state_arg=None)
 
     print(json.dumps({k: round(v, 2) for k, v in results.items()}))
 

@@ -58,6 +58,43 @@ def main():
     err = np.abs(got.transpose(0, 2, 3, 1) - want).max()
     print("max |kernel - xla| =", float(err), flush=True)
     assert err < 2e-2, err
+
+    # full aug+compose kernel vs the XLA stages (noise off, mixed tiles)
+    from mobilenet_yolo_tpu.ops.device_augment import (fused_aug_compose,
+                                                       geometric_compose)
+    b = max(2, n // 4)
+    slots_b = rng.integers(0, 255, (b, 4, s, s, 3)).astype(np.uint8)
+    src = np.tile(np.float32([0.1, 0.05, 0.9, 0.85]), (b, 4, 1))
+    dstq = np.tile(np.float32([[0, 0, .5, .5], [.5, 0, 1, .5],
+                               [0, .5, .5, 1], [.5, .5, 1, 1]]), (b, 1, 1))
+    plans = [host_aug.sample_photometric(rng) for _ in range(b * 4)]
+    opsb = np.stack([p[0] for p in plans]).reshape(b, 4, 5).astype(np.int32)
+    facb = np.stack([p[1] for p in plans]).reshape(b, 4, 5).astype(
+        np.float32)
+    args2 = dict(
+        fill_rect=jnp.asarray(dstq), fill_color=jnp.full((b, 4, 3), 99.0),
+        fill_from_mean=jnp.asarray(rng.random((b, 4)) < 0.5),
+        flip=jnp.asarray(rng.random((b, 4)) < 0.5),
+        active=jnp.asarray(np.concatenate(
+            [np.ones((b, 1), bool),
+             rng.random((b, 3)) < 0.7], axis=1)))
+    out_full = np.asarray(fused_aug_compose(
+        jnp.asarray(slots_b), jnp.asarray(src), jnp.asarray(dstq),
+        args2["fill_rect"], args2["fill_color"], args2["fill_from_mean"],
+        args2["flip"], args2["active"], (s, s),
+        jnp.zeros((b, 4), bool), jnp.zeros((b, 4), np.float32),
+        jnp.zeros((b, 4), bool), jnp.asarray(opsb), jnp.asarray(facb),
+        jax.random.PRNGKey(1), dtype=jnp.bfloat16, full=True),
+        np.float32)
+    ref_full = np.asarray(geometric_compose(
+        jnp.asarray(slots_b), jnp.asarray(src), jnp.asarray(dstq),
+        args2["fill_rect"], args2["fill_color"], args2["fill_from_mean"],
+        args2["flip"], args2["active"], (s, s),
+        jitter_op=jnp.asarray(opsb), jitter_factor=jnp.asarray(facb)))
+    d = np.abs(out_full - ref_full)
+    print("full kernel vs xla: max", float(d.max()),
+          "mean", float(d.mean()), flush=True)
+    assert d.max() < 5.0 and d.mean() < 1.0, (d.max(), d.mean())
     print("OK", flush=True)
 
 
