@@ -157,3 +157,74 @@ def test_load_torch_state_dict_canonicalizes_keys(tmp_path):
     out2 = load_torch_state_dict(path2)
     assert "backbone.features2.3.conv.0.weight" in out2
     assert "yolo_headS32.3.bias" in out2
+
+
+@pytest.mark.parametrize("what", ["full", "full_seg", "mbv3"])
+def test_export_state_dict_inverts_convert(what):
+    """JAX -> torch export is the exact inverse of the import: exporting a
+    flax-initialized tree and converting it back reproduces every leaf
+    bit-for-bit (and the torch keys/shapes match the reference naming)."""
+    from mobilenet_yolo_tpu.models import MBv2YOLO, MBv3YOLO
+    from tools.convert_torch import export_state_dict
+
+    if what == "mbv3":
+        model = MBv3YOLO(num_classes=20, num_anchors=3)
+        mapping = mbv3_yolo_mapping()
+    else:
+        model = MBv2YOLO(num_classes=20, num_anchors=3,
+                         seg_num_classes=2 if what == "full_seg" else 0)
+        mapping = mbv2_yolo_mapping(segmentation=(what == "full_seg"))
+    variables = _flax_tree(model)
+
+    sd = export_state_dict(variables["params"], variables["batch_stats"],
+                           mapping)
+    assert set(sd.keys()) == set(mapping.values())
+    back_params, back_stats = convert(sd, mapping)
+    for tree, back in ((variables["params"], back_params),
+                       (variables["batch_stats"], back_stats)):
+        want, got = _paths(tree), _paths(back)
+        assert want.keys() == got.keys()
+    import jax
+
+    def assert_equal(a, b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    jax.tree.map(assert_equal, dict(variables["params"]), back_params)
+    jax.tree.map(assert_equal, dict(variables["batch_stats"]), back_stats)
+
+
+def test_export_state_dict_missing_path_raises():
+    from tools.convert_torch import export_state_dict
+    mapping = {("params", "stem", "conv", "kernel"): "features.0.0.weight"}
+    with pytest.raises(KeyError):
+        export_state_dict({}, {}, mapping)
+
+
+def test_reverse_cli_writes_reference_checkpoint(tmp_path):
+    """tools/convert_torch.py --reverse round-trips through the on-disk
+    reference checkpoint format: npz -> {epoch, model, acc, best_acc,
+    conf} -> convert() reproduces the tree."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from mobilenet_yolo_tpu.models import MBv2YOLO
+    from mobilenet_yolo_tpu.tools_io import save_params_npz
+    from tools.convert_torch import load_torch_state_dict, main
+
+    model = MBv2YOLO(num_classes=20, num_anchors=3)
+    variables = _flax_tree(model)
+    npz = str(tmp_path / "params.npz")
+    save_params_npz(npz, variables["params"], variables["batch_stats"])
+    out = str(tmp_path / "exported.pth.tar")
+    main(["--reverse", "--params", npz, "--out", out,
+          "--val-conf", "0.17", "--epoch", "42", "--best-acc", "0.71"])
+
+    ckpt = torch.load(out, weights_only=False)
+    assert ckpt["epoch"] == 42 and ckpt["conf"] == pytest.approx(0.17)
+    assert ckpt["best_acc"] == pytest.approx(0.71)
+    sd = load_torch_state_dict(out)          # reads ckpt["model"]
+    params, stats = convert(sd, mbv2_yolo_mapping())
+
+    def assert_equal(a, b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    import jax
+    jax.tree.map(assert_equal, dict(variables["params"]), params)
+    jax.tree.map(assert_equal, dict(variables["batch_stats"]), stats)

@@ -438,3 +438,83 @@ def test_map_matches_reference(ref_modules, rng):
         np.testing.assert_allclose(aps[c], ref_aps[c], atol=1e-6)
         assert tp[c] == float(ref_tp[c])
         assert fp[c] == float(ref_fp[c])
+
+
+def test_export_deploys_into_reference(ref_modules, rng, monkeypatch,
+                                       tmp_path):
+    """JAX -> torch deployment parity (the reverse of the converter test
+    above): a flax-initialized MBv2-YOLO exported with
+    tools/convert_torch.export_state_dict loads into the EXECUTED
+    reference module (strict state_dict load) and produces identical
+    post-NMS detections — and the --wrap-module artifact round-trips
+    through the reference's own inference loader (inference.py:127-148)."""
+    import jax
+    import jax.numpy as jnp
+    from mobilenet_yolo_tpu.eval import make_predict_fn
+    from mobilenet_yolo_tpu.models import MBv2YOLO
+    from tools.convert_torch import (export_state_dict, mbv2_yolo_mapping,
+                                     save_reference_module)
+
+    torch = ref_modules.torch
+    sys.modules["torchvision"].ops.nms = _oracle_torch_nms
+    import models.mobilenetv2 as ref_mnv2
+    monkeypatch.setattr(ref_mnv2, "load_state_dict_from_url",
+                        lambda *a, **k: {})
+    import importlib
+    import models.mbv2_yolo as ref_mbv2_yolo
+    importlib.reload(ref_mbv2_yolo)
+
+    config = {
+        "img_w": 160, "img_h": 160, "iou_weighting": 0.0218,
+        "yolo": {"num_classes": 20, "num_anchors": 3,
+                 "ignore_thresh": [0.6, 0.55], "iou_thresh": 0.55,
+                 "anchors": ANCHORS_PX, "mask": [[0, 1, 2], [3, 4, 5]]},
+    }
+    val_conf = 0.05
+    model = MBv2YOLO(num_classes=20, num_anchors=3)
+    x = rng.normal(0, 0.8, (2, 160, 160, 3)).astype(np.float32)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(3), jnp.asarray(x),
+                           train=False))()
+    # non-trivial BN stats so the export covers batch_stats too
+    variables = jax.tree.map(np.asarray, variables)
+    for blk in variables["batch_stats"]["backbone"].values():
+        for bn in blk.values():
+            if isinstance(bn, dict) and "mean" in bn:
+                bn["mean"] = rng.normal(0, 0.05, bn["mean"].shape).astype(
+                    np.float32)
+                bn["var"] = rng.uniform(0.8, 1.2, bn["var"].shape).astype(
+                    np.float32)
+
+    sd = export_state_dict(variables["params"], variables["batch_stats"],
+                           mbv2_yolo_mapping())
+    module_path = str(tmp_path / "model_best.pth.tar")
+    save_reference_module(module_path, sd, config, val_conf=val_conf)
+
+    # load exactly like the reference's inference.py load_model
+    net = torch.load(module_path, weights_only=False)
+    net.eval()
+    with torch.no_grad():
+        ref_dets = net(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()))
+
+    predict = make_predict_fn(model, config, top_k=384)
+    dets, keep = predict({"params": jax.tree.map(jnp.asarray,
+                                                 variables["params"]),
+                          "batch_stats": jax.tree.map(
+                              jnp.asarray, variables["batch_stats"])},
+                         jnp.asarray(x), jnp.float32(val_conf))
+    dets, keep = np.asarray(dets), np.asarray(keep)
+
+    for b in range(2):
+        mine = dets[b][keep[b]]
+        ref = ref_dets[b].numpy()
+        assert abs(mine.shape[0] - ref.shape[0]) <= 2, (mine.shape,
+                                                        ref.shape)
+        unmatched = 0
+        for row in mine:
+            diffs = np.abs(ref - row).max(axis=1) if len(ref) else [1]
+            if np.min(diffs) > 1e-3:
+                unmatched += 1
+        assert unmatched <= max(2, int(0.01 * len(mine))), (
+            f"{unmatched}/{len(mine)} exported detections have no "
+            "reference match")

@@ -1,21 +1,32 @@
-"""Convert reference PyTorch checkpoints to flax variable trees.
+"""Convert checkpoints between the reference PyTorch formats and flax trees.
 
-Handles both reference formats (train.py:425-433): per-epoch dicts with a
-``model`` state_dict, and the whole-pickled-module ``model_best.pth.tar``
-(loaded via its state_dict, like inference.py:127-148). Also converts bare
-ImageNet MobileNetV2 backbones (mobilenetv2.py:160-185), including the
-``features2.N -> features.14+N`` key remap.
+**torch -> JAX** handles both reference formats (train.py:425-433):
+per-epoch dicts with a ``model`` state_dict, and the whole-pickled-module
+``model_best.pth.tar`` (loaded via its state_dict, like
+inference.py:127-148). Also converts bare ImageNet MobileNetV2 backbones
+(mobilenetv2.py:160-185), including the ``features2.N -> features.14+N``
+key remap.
+
+**JAX -> torch** (``--reverse``) exports a flax tree back into the
+reference's on-disk formats, so a model trained here deploys into the
+reference's stack unchanged: always the per-epoch dict
+``{epoch, model, acc, best_acc, conf}`` that ``train.py --resume`` and
+``model.load_state_dict(ckpt["model"])`` consume, and — when the
+reference package is importable (``--wrap-module``) — the whole pickled
+module that ``inference.py:127-148`` loads as ``model_best.pth.tar``.
 
 Layout mapping:
 
-* conv weights: torch OIHW -> flax HWIO (transpose 2,3,1,0); depthwise convs
-  (groups == out_channels) map (C,1,kh,kw) -> (kh,kw,1,C) under the same
-  transpose, matching ``feature_group_count``
-* BatchNorm: weight->scale, bias->bias, running_mean/var -> batch_stats
+* conv weights: torch OIHW <-> flax HWIO (transpose 2,3,1,0); depthwise
+  convs (groups == out_channels) map (C,1,kh,kw) <-> (kh,kw,1,C) under the
+  same transpose, matching ``feature_group_count``
+* BatchNorm: weight<->scale, bias<->bias, running_mean/var <-> batch_stats
 
 Usage:
     python tools/convert_torch.py --torch <ckpt.pth.tar> --out <params.npz> \
         [--what full|backbone]
+    python tools/convert_torch.py --reverse --params <params.npz> \
+        --out <ckpt.pth.tar> [--what full|full_seg|mbv3] [--wrap-module]
 """
 
 from __future__ import annotations
@@ -210,6 +221,83 @@ def convert(state_dict: dict, mapping: dict) -> tuple[dict, dict]:
     return params, batch_stats
 
 
+def export_state_dict(params: dict, batch_stats: dict,
+                      mapping: dict) -> dict:
+    """flax (params, batch_stats) -> torch state_dict (numpy values).
+
+    Exact inverse of :func:`convert` under the same mapping: 4-d kernels
+    transpose HWIO -> OIHW; every mapping entry must resolve in the tree
+    (a trained checkpoint covers the whole model, so a miss is a wiring
+    error, not a warning)."""
+    sd = {}
+    missing = []
+    for (col, *path), torch_key in mapping.items():
+        node = params if col == "params" else batch_stats
+        try:
+            for p in path:
+                node = node[p]
+        except (KeyError, TypeError):
+            missing.append("/".join((col, *path)))
+            continue
+        w = np.asarray(node)
+        if path[-1] == "kernel" and w.ndim == 4:
+            w = w.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        sd[torch_key] = np.ascontiguousarray(w)
+    if missing:
+        raise KeyError(f"{len(missing)} flax paths missing from the tree, "
+                       f"e.g. {missing[:5]}")
+    return sd
+
+
+def save_reference_checkpoint(path: str, state_dict: dict, *,
+                              epoch: int = 0, acc: float = 0.0,
+                              best_acc: float = 0.0,
+                              val_conf: float = 0.1) -> None:
+    """Write the reference's per-epoch checkpoint dict (train.py:175-182,
+    425-428; resume keys at train.py:144-150): ``{epoch, model, acc,
+    best_acc, conf}``. ``optimizer`` is intentionally absent — torch
+    optimizer state cannot be fabricated without the torch module; the
+    reference's inference/fine-tune loaders only read ``model``."""
+    import torch
+    torch.save({
+        "epoch": int(epoch),
+        "model": {k: torch.from_numpy(np.array(v))  # copy: torch rejects
+                  for k, v in state_dict.items()},  # non-writable views
+        "acc": float(acc),
+        "best_acc": float(best_acc),
+        "conf": float(val_conf),
+    }, path)
+
+
+def save_reference_module(path: str, state_dict: dict, config: dict,
+                          val_conf: float = 0.1) -> None:
+    """Wrap the exported weights in the ACTUAL reference module and pickle
+    it whole — byte-compatible with ``model_best.pth.tar`` (train.py:431),
+    the format ``inference.py:127-148`` loads. Requires the reference
+    package (``models.mbv2_yolo``) on sys.path; raises ImportError
+    otherwise."""
+    import torch
+    import models.mbv2_yolo as ref_mbv2_yolo
+    net = ref_mbv2_yolo.yolo(config=config)
+    # intersection update, exactly like the reference's own loader
+    # (inference.py:137-146): the reference module instantiates its seg
+    # trunk (seg_conv/connect_for_S16) even in detection-only configs, so
+    # a detection-only export legitimately misses those keys — but an
+    # EXPORTED key the module doesn't expect is a wiring error
+    model_dict = net.state_dict()
+    unexpected = [k for k in state_dict if k not in model_dict]
+    if unexpected:
+        raise KeyError(f"{len(unexpected)} exported keys not in the "
+                       f"reference module, e.g. {unexpected[:5]}")
+    model_dict.update({k: torch.from_numpy(np.array(v))  # copy: torch
+                       for k, v in state_dict.items()})  # rejects r/o views
+    net.load_state_dict(model_dict)
+    net.eval()
+    for head_loss in net.yolo_losses:
+        head_loss.val_conf = float(val_conf)
+    torch.save(net, path)
+
+
 def load_torch_state_dict(path: str) -> dict:
     import torch
     obj = torch.load(path, map_location="cpu", weights_only=False)
@@ -234,15 +322,68 @@ def load_torch_state_dict(path: str) -> dict:
     return remapped
 
 
+def _mapping_for(what: str) -> dict:
+    if what == "mbv3":
+        return mbv3_yolo_mapping()
+    return mbv2_yolo_mapping(segmentation=(what == "full_seg"))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--torch", required=True, help="input .pth[.tar]")
-    parser.add_argument("--out", required=True, help="output .npz")
+    parser.add_argument("--torch", help="input .pth[.tar] (forward mode)")
+    parser.add_argument("--out", required=True,
+                        help="output .npz (forward) / .pth.tar (--reverse)")
     parser.add_argument("--what", default="full",
                         choices=["full", "full_seg", "backbone",
                                  "mbv3", "mbv3_backbone"])
+    parser.add_argument("--reverse", action="store_true",
+                        help="export flax -> reference torch checkpoint")
+    parser.add_argument("--params",
+                        help="input params .npz (tools_io format; produce "
+                             "one from a training run via tools/export.py "
+                             "--what npz) for --reverse")
+    parser.add_argument("--val-conf", type=float, default=0.1,
+                        help="val_conf persisted in the exported checkpoint"
+                             " (reference train.py:149-150)")
+    parser.add_argument("--epoch", type=int, default=0)
+    parser.add_argument("--best-acc", type=float, default=0.0)
+    parser.add_argument("--wrap-module", action="store_true",
+                        help="ALSO write <out-stem>_model_best.pth.tar: the "
+                             "whole pickled reference module "
+                             "(inference.py:127-148 format); needs the "
+                             "reference package importable")
+    parser.add_argument("--model-config",
+                        help="model config yaml for --wrap-module "
+                             "(anchors/masks/thresholds)")
     args = parser.parse_args(argv)
 
+    if args.reverse:
+        if not args.params:
+            parser.error("--reverse requires --params <npz>")
+        if args.what.endswith("backbone"):
+            parser.error("--reverse exports full detectors only")
+        from mobilenet_yolo_tpu.tools_io import load_params_npz
+        params, batch_stats = load_params_npz(args.params)
+        sd = export_state_dict(params, batch_stats, _mapping_for(args.what))
+        save_reference_checkpoint(args.out, sd, epoch=args.epoch,
+                                  acc=args.best_acc, best_acc=args.best_acc,
+                                  val_conf=args.val_conf)
+        print(f"wrote {args.out} ({len(sd)} tensors)")
+        if args.wrap_module:
+            if not args.model_config:
+                parser.error("--wrap-module requires --model-config")
+            import yaml
+            with open(args.model_config) as f:
+                config = yaml.safe_load(f)
+            stem = args.out.rsplit(".pth", 1)[0]
+            module_path = f"{stem}_model_best.pth.tar"
+            save_reference_module(module_path, sd, config,
+                                  val_conf=args.val_conf)
+            print(f"wrote {module_path} (pickled reference module)")
+        return
+
+    if not args.torch:
+        parser.error("forward mode requires --torch <ckpt>")
     sd = load_torch_state_dict(args.torch)
     if args.what in ("backbone", "mbv3_backbone"):
         # bare pretrained backbone (keys without the 'backbone.' prefix);
