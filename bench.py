@@ -35,6 +35,14 @@ def main():
     parser.add_argument("--img-size", type=int, default=352)
     parser.add_argument("--iters", type=int, default=32)
     parser.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    parser.add_argument("--fold-bn", action="store_true",
+                        help="fold BatchNorms into conv weights first "
+                             "(models/bn_fold.py)")
+    parser.add_argument("--input-dtype", choices=["f32", "bf16"],
+                        default="f32",
+                        help="dtype of the device-resident input images "
+                             "(bf16 skips the on-device f32->bf16 cast "
+                             "pass a bf16-serving host can avoid)")
     args = parser.parse_args()
 
     import jax
@@ -54,6 +62,11 @@ def main():
         .astype(np.float32))
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x,
                                            train=False))()
+    if args.input_dtype == "bf16":
+        x = x.astype(jnp.bfloat16)
+    if args.fold_bn:
+        from mobilenet_yolo_tpu.models.bn_fold import fold_batchnorm
+        variables = fold_batchnorm(variables)
     predict = make_predict_fn(model, _VOC_MODEL_CFG)
     val_conf = jnp.float32(0.3)
 
