@@ -63,18 +63,19 @@ def main(argv=None):
     val_conf = args.val_conf
     if os.path.isdir(args.checkpoint) and not args.random_weights:
         # restore the full TrainState: weights AND the adapted val_conf
+        # (template-free: EMA and non-EMA runs both load; EMA runs
+        # evaluate with the averaged weights, like the trainer did)
         from mobilenet_yolo_tpu.train.checkpoints import CheckpointManager
-        from mobilenet_yolo_tpu.train.state import create_train_state
-        state, _ = create_train_state(model, jax.random.PRNGKey(0),
-                                      (mc["img_w"], mc["img_h"]))
-        restored = CheckpointManager(args.checkpoint).restore_latest(state)
-        if restored is None:
+        raw = CheckpointManager(args.checkpoint).restore_latest_raw()
+        if raw is None:
             raise FileNotFoundError(
                 f"no checkpoint found at {args.checkpoint}")
-        variables = {"params": restored.params,
-                     "batch_stats": restored.batch_stats}
+        params = raw.get("ema_params") or raw["params"]
+        variables = {"params": jax.tree.map(jnp.asarray, params),
+                     "batch_stats": jax.tree.map(jnp.asarray,
+                                                 raw["batch_stats"])}
         if val_conf is None:
-            val_conf = float(restored.val_conf)
+            val_conf = float(raw["val_conf"])
     else:
         variables = load_variables(model, args.checkpoint, x,
                                    random_ok=args.random_weights)

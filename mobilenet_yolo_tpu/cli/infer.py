@@ -50,16 +50,15 @@ def load_variables(model, checkpoint: str, example, random_ok=False):
         return {"params": jax.tree.map(jnp.asarray, params),
                 "batch_stats": jax.tree.map(jnp.asarray, batch_stats)}
     if os.path.isdir(checkpoint):
-        import orbax.checkpoint as ocp
-        from mobilenet_yolo_tpu.train.state import create_train_state
-        state, _ = create_train_state(model, jax.random.PRNGKey(0),
-                                      (example.shape[2], example.shape[1]))
-        mgr = ocp.CheckpointManager(os.path.abspath(checkpoint))
-        step = mgr.latest_step()
-        if step is not None:
-            restored = mgr.restore(step, args=ocp.args.StandardRestore(state))
-            return {"params": restored.params,
-                    "batch_stats": restored.batch_stats}
+        from mobilenet_yolo_tpu.train.checkpoints import CheckpointManager
+        raw = CheckpointManager(checkpoint).restore_latest_raw()
+        if raw is not None:
+            # serve the EMA weights when the run maintained them — the
+            # same weights the trainer evaluated and selected best by
+            params = raw.get("ema_params") or raw["params"]
+            return {"params": jax.tree.map(jnp.asarray, params),
+                    "batch_stats": jax.tree.map(jnp.asarray,
+                                                raw["batch_stats"])}
     raise FileNotFoundError(f"no loadable checkpoint at {checkpoint}")
 
 

@@ -95,6 +95,11 @@ def get_params(argv=None):
     parser.add_argument("--img-size", default=96, type=int)
     parser.add_argument("--init-from", default="", type=str,
                         help="npz params file (e.g. converted torch weights)")
+    parser.add_argument("--ema-decay", default=0.0, type=float,
+                        help="EMA decay for eval weights (0 = off, "
+                             "0.999-0.9999 typical); evaluation and "
+                             "best-model selection use the averaged "
+                             "params (beyond-reference stabilizer)")
     return parser.parse_args(argv)
 
 
@@ -163,6 +168,7 @@ def main(args, report=None):
         tensorboard_dir=(os.environ["NNI_OUTPUT_DIR"] + "/tensorboard"
                          if "NNI_OUTPUT_DIR" in os.environ else "tensorboard"),
         nms_top_k=int(model_cfg.get("nms_top_k", 512)),
+        ema_decay=args.ema_decay,
     )
     device_normalize = not args.synthetic and not args.host_normalize
     device_pixel_aug = args.device_pixel_aug and device_normalize

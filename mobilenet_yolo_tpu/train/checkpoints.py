@@ -52,6 +52,23 @@ class CheckpointManager:
             return None
         return self.restore(step, template)
 
+    def restore_latest_raw(self) -> Optional[dict]:
+        """Template-free restore of the latest step as a raw field dict.
+
+        Tolerant of optional TrainState fields (ema_params on EMA-trained
+        runs) that a fixed template would reject — the serving/eval CLIs
+        use this to load weights from any run's checkpoints.
+        """
+        step = self.latest_step()
+        if step is None:
+            return None
+        raw = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        if not isinstance(raw, dict):
+            raw = {"params": raw.params, "batch_stats": raw.batch_stats,
+                   "val_conf": raw.val_conf,
+                   "ema_params": getattr(raw, "ema_params", None)}
+        return raw
+
     def close(self):
         self._mgr.wait_until_finished()
         self._mgr.close()

@@ -80,6 +80,11 @@ class TrainerConfig:
     # post-gate candidate count in practice; override via model yaml
     # ``nms_top_k`` for very dense scenes.
     nms_top_k: int = 512
+    # exponential-moving-average decay for the eval weights (0 = off, the
+    # reference's behavior; 0.999-0.9999 typical). When on, the train step
+    # maintains ema_params and evaluation/best-model selection use them
+    # (train/state.py). Beyond-reference training stabilizer.
+    ema_decay: float = 0.0
 
 
 class Trainer:
@@ -111,7 +116,9 @@ class Trainer:
         img_size = (int(model_cfg["img_w"]), int(model_cfg["img_h"]))
         self.state, self.tx = create_train_state(
             model, jax.random.PRNGKey(0), img_size,
-            learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay)
+            learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay,
+            ema=cfg.ema_decay > 0)
+        self._ema_decay = cfg.ema_decay if cfg.ema_decay > 0 else None
         if mesh is not None and mesh.shape.get("model", 1) > 1:
             # tensor parallelism: shard large output-channel kernels (and
             # their Adam moments) over the ``model`` axis; the plain-jitted
@@ -127,12 +134,12 @@ class Trainer:
         if device_geometry:
             self.train_step = make_geometry_train_step(
                 model, model_cfg, self.tx, mesh=mesh,
-                segmentation=segmentation)
+                segmentation=segmentation, ema_decay=self._ema_decay)
         else:
             self.train_step = make_train_step(
                 model, model_cfg, self.tx, segmentation=segmentation,
                 mesh=mesh, normalize=device_normalize,
-                pixel_aug=device_pixel_aug)
+                pixel_aug=device_pixel_aug, ema_decay=self._ema_decay)
         self._aug_key = jax.random.PRNGKey(17)
         # eval rides the same mesh as training (batch sharded over the
         # ``data`` axis) so the alternate-epoch mAP pass scales with the
@@ -276,7 +283,13 @@ class Trainer:
                  ) -> tuple[float, dict]:
         from mobilenet_yolo_tpu.eval.evaluator import evaluate_detection
 
-        variables = {"params": self.state.params,
+        # with EMA on, evaluate (and thereby select/save the best model
+        # with) the averaged weights; BN stats are already a running
+        # average, so the live ones pair with them (train/state.py)
+        eval_params = (self.state.ema_params
+                       if self.state.ema_params is not None
+                       else self.state.params)
+        variables = {"params": eval_params,
                      "batch_stats": self.state.batch_stats}
         res = evaluate_detection(
             self.predict, variables, loader, self.classes_name,

@@ -41,6 +41,13 @@ class TrainState(struct.PyTreeNode):
     # exceeding the reference, whose resume granularity is whole epochs
     # (train.py:138-153).
     batch_idx: jnp.ndarray      # scalar int32
+    # exponential moving average of ``params`` (None = EMA off). Updated
+    # by the train steps when built with ``ema_decay``; evaluation and
+    # best-checkpoint selection then use these weights (the standard
+    # detector-training stabilizer — the reference has no equivalent).
+    # BN running stats are already their own moving average, so the live
+    # ``batch_stats`` pair with the EMA params.
+    ema_params: Any = None
 
     @property
     def variables(self):
@@ -60,6 +67,7 @@ def create_train_state(
     weight_decay: float = 4e-4,
     val_conf: float = 0.1,
     batch_size: int = 2,
+    ema: bool = False,
 ) -> tuple[TrainState, optax.GradientTransformation]:
     w, h = img_size
     x = jnp.zeros((batch_size, h, w, 3), jnp.float32)
@@ -74,5 +82,7 @@ def create_train_state(
         best_acc=jnp.asarray(0.0, jnp.float32),
         val_conf=jnp.asarray(val_conf, jnp.float32),
         batch_idx=jnp.asarray(0, jnp.int32),
+        ema_params=(jax.tree.map(jnp.array, variables["params"])
+                    if ema else None),
     )
     return state, tx

@@ -117,6 +117,24 @@ def make_loss_fn(model, config: dict, segmentation: bool = False,
     return loss_fn
 
 
+def _ema_update(state: TrainState, new_params, ema_decay):
+    """EMA of the params after an optimizer step (None decay = off).
+
+    ``ema = decay * ema + (1 - decay) * params`` — the standard detector
+    training stabilizer (no reference counterpart). A trace-time check
+    catches a state built without ``create_train_state(ema=True)``.
+    """
+    if ema_decay is None:
+        return state.ema_params
+    if state.ema_params is None:
+        raise ValueError("ema_decay set but state.ema_params is None — "
+                         "build the state with create_train_state(ema=True)")
+    d = jnp.float32(ema_decay)
+    return jax.tree.map(
+        lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+        state.ema_params, new_params)
+
+
 def make_train_step(
     model,
     config: dict,
@@ -125,6 +143,7 @@ def make_train_step(
     mesh=None,
     normalize: bool = False,
     pixel_aug: bool = False,
+    ema_decay: float | None = None,
 ) -> Callable:
     """Returns ``train_step(state, images, gt, n_gt[, seg_maps]
     [, jitter_op, jitter_factor]) -> (state, metrics)``, jitted (and
@@ -164,6 +183,7 @@ def make_train_step(
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            ema_params=_ema_update(state, new_params, ema_decay),
         )
         return new_state, metrics
 
@@ -201,7 +221,8 @@ GEOMETRY_BATCH_KEYS = ("slots", "src_rect", "dst_rect", "fill_rect",
 def make_geometry_train_step(model, config: dict,
                              tx: optax.GradientTransformation,
                              mesh=None, segmentation: bool = False,
-                             fused_aug: bool | str | None = None) -> Callable:
+                             fused_aug: bool | str | None = None,
+                             ema_decay: float | None = None) -> Callable:
     """Train step with the WHOLE augmentation pipeline on device.
 
     Returns ``step(state, *geom_arrays, gt, n_gt, aug_key, out_hw=(H, W))``
@@ -281,8 +302,10 @@ def make_geometry_train_step(model, config: dict,
                 state.params, state.batch_stats, images, gt, n_gt, seg_maps)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
-            return state.replace(params=new_params, batch_stats=new_stats,
-                                 opt_state=new_opt), metrics
+            return state.replace(
+                params=new_params, batch_stats=new_stats, opt_state=new_opt,
+                ema_params=_ema_update(state, new_params, ema_decay),
+            ), metrics
 
         if segmentation:
             def step(state, slots, src_rect, dst_rect, fill_rect,
