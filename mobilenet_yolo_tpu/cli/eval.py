@@ -37,6 +37,9 @@ def main(argv=None):
                              "'auto' shards the eval batch over all "
                              "visible chips")
     parser.add_argument("--random-weights", action="store_true")
+    parser.add_argument("--coco-ap", action="store_true",
+                        help="also report COCO-protocol AP@[.5:.95]/AP50/"
+                             "AP75 (beyond-reference; ops/coco_ap.py)")
     args = parser.parse_args(argv)
 
     import jax
@@ -103,11 +106,13 @@ def main(argv=None):
     res = evaluate_detection(
         predict, variables, loader, cfg.classes, val_conf,
         pad_multiple=(mesh.shape.get("data", 1) if mesh is not None else 1),
-        batch_size=args.batch_size)
+        batch_size=args.batch_size, coco_ap=args.coco_ap)
     out = {"mAP": res["mAP"], "APs": res["aps"],
            "val_conf": val_conf}
     if res["seg_miou"] is not None:
         out["seg_mIoU"] = float(res["seg_miou"])
+    if args.coco_ap:
+        out["coco"] = res["coco"]
     print(json.dumps(out, indent=2))
     return res["mAP"]
 

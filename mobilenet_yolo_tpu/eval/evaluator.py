@@ -81,6 +81,17 @@ class Evaluator:
             self.classes_name,
         )
 
+    def compute_coco(self, max_dets: int = 100) -> dict:
+        """COCO metric family (AP@[.5:.95]/AP50/AP75) over the same
+        accumulated detections — beyond-reference protocol, ops/coco_ap.py
+        (the difficult flag maps to COCO's ignore)."""
+        from mobilenet_yolo_tpu.ops.coco_ap import calculate_coco_map
+        return calculate_coco_map(
+            self.det_boxes, self.det_labels, self.det_scores,
+            self.true_boxes, self.true_labels, self.true_difficulties,
+            self.classes_name, max_dets=max_dets,
+        )
+
     def adjusted_conf(self, conf: float) -> float:
         return adjust_confidence(self.gt_box_count, self.pred_box_count, conf)
 
@@ -94,6 +105,7 @@ def evaluate_detection(
     pad_multiple: int = 1,
     batch_size: int | None = None,
     log: Callable[[str], None] | None = None,
+    coco_ap: bool = False,
 ) -> dict:
     """The ONE evaluation driver behind both ``Trainer.evaluate`` and the
     standalone ``cli/eval.py`` (so the VOC protocol cannot drift between
@@ -146,7 +158,14 @@ def evaluate_detection(
     aps, mAP, tp, fp = ev.compute()
     if log:
         log(f"  val_conf -> {new_conf:.3f}; mAP {mAP:.4f}")
-    return {"mAP": mAP, "aps": aps, "new_conf": new_conf,
-            "seg_miou": seg_miou, "tp": tp, "fp": fp}
+    res = {"mAP": mAP, "aps": aps, "new_conf": new_conf,
+           "seg_miou": seg_miou, "tp": tp, "fp": fp}
+    if coco_ap:
+        res["coco"] = ev.compute_coco()
+        if log:
+            c = res["coco"]
+            log(f"  COCO AP {c['AP']:.4f} AP50 {c['AP50']:.4f} "
+                f"AP75 {c['AP75']:.4f}")
+    return res
 
 

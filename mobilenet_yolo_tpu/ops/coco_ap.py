@@ -1,0 +1,154 @@
+"""COCO-protocol average precision (AP@[.5:.95], AP50, AP75).
+
+Beyond-reference evaluation: the reference only implements the VOC
+11-point protocol (utils/eval_mAP.py); this module adds the COCO metric
+family with pycocotools' exact algorithm (cocoeval.py: evaluateImg /
+accumulate), over the same per-image-list input contract as
+``ops/ap.py:calculate_mAP``:
+
+* 10 IoU thresholds 0.50:0.05:0.95; 101 recall points 0:0.01:1
+* per (image, class): detections sorted by score; each detection greedily
+  takes the UNMATCHED ground truth with the highest IoU >= t, preferring
+  any non-ignored GT over ignored ones (a match to an ignored GT — the
+  VOC ``difficult`` flag maps to pycocotools' ignore — removes the
+  detection from scoring entirely, like an iscrowd match)
+* precision envelope (monotone non-increasing) before interpolation;
+  classes with no ground truth are skipped, not scored 0
+* maxDets=100 per image (COCO default); area ranges are not implemented
+  (VOC has no area protocol) — all boxes are "all"-area.
+
+Pure numpy, host-side, same as ops/ap.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mobilenet_yolo_tpu.ops.ap import _pairwise_iou_np
+
+IOU_THRESHS = np.arange(0.5, 1.0, 0.05)          # 10 values, 0.50..0.95
+RECALL_POINTS = np.linspace(0.0, 1.0, 101)
+
+
+def _match_image_class(det_box, det_score, true_box, true_ignore):
+    """pycocotools evaluateImg for one (image, class): returns
+    (scores, tp[T, D], ignored[T, D]) with detections sorted by score."""
+    order = np.argsort(-det_score, kind="stable")
+    det_box = det_box[order]
+    det_score = det_score[order]
+    n_det, n_gt = det_box.shape[0], true_box.shape[0]
+    T = len(IOU_THRESHS)
+    tp = np.zeros((T, n_det), bool)
+    det_ig = np.zeros((T, n_det), bool)
+    if n_det == 0:
+        return det_score, tp, det_ig
+    # GTs sorted ignored-last, like pycocotools (gtind)
+    gt_order = np.argsort(true_ignore, kind="stable")
+    true_box = true_box[gt_order]
+    true_ignore = true_ignore[gt_order].astype(bool)
+    if n_gt:
+        ious = _pairwise_iou_np(det_box, true_box)
+    for ti, t in enumerate(IOU_THRESHS):
+        matched = np.zeros(n_gt, bool)
+        for d in range(n_det):
+            best, best_iou = -1, min(t, 1 - 1e-10)
+            for g in range(n_gt):
+                if matched[g]:
+                    continue
+                # best non-ignored match found and g is ignored: stop —
+                # ignored GTs sort last (cocoeval.py evaluateImg)
+                if best > -1 and not true_ignore[best] and true_ignore[g]:
+                    break
+                if ious[d, g] < best_iou:
+                    continue
+                best_iou = ious[d, g]
+                best = g
+            if best == -1:
+                continue
+            matched[best] = True
+            if true_ignore[best]:
+                det_ig[ti, d] = True     # matched a difficult GT: unscored
+            else:
+                tp[ti, d] = True
+    return det_score, tp, det_ig
+
+
+def _class_precision_recall(c, true_labels, det_labels, true_boxes,
+                            true_difficulties, det_boxes, det_scores,
+                            max_dets: int):
+    scores, tps, igs = [], [], []
+    n_gt_total = 0
+    for tl, dl, tb, td, db, ds in zip(true_labels, det_labels, true_boxes,
+                                      true_difficulties, det_boxes,
+                                      det_scores):
+        tmask = tl == c
+        dmask = dl == c
+        dbox, dsc = db[dmask], ds[dmask]
+        if dbox.shape[0] > max_dets:           # per-image COCO cap,
+            keep = np.argsort(-dsc, kind="stable")[:max_dets]  # by score
+            dbox, dsc = dbox[keep], dsc[keep]
+        s, tp, ig = _match_image_class(dbox, dsc, tb[tmask],
+                                       td[tmask])
+        scores.append(s)
+        tps.append(tp)
+        igs.append(ig)
+        n_gt_total += int((td[tmask] == 0).sum())
+    if n_gt_total == 0:
+        return None                            # class absent: skipped
+    sc = np.concatenate(scores) if scores else np.zeros(0, np.float32)
+    tp = np.concatenate(tps, axis=1) if tps else np.zeros((10, 0), bool)
+    ig = np.concatenate(igs, axis=1) if igs else np.zeros((10, 0), bool)
+    order = np.argsort(-sc, kind="stable")     # global score sort
+    tp, ig = tp[:, order], ig[:, order]
+
+    ap = np.zeros(len(IOU_THRESHS), np.float64)
+    for ti in range(len(IOU_THRESHS)):
+        keep = ~ig[ti]
+        tpt = tp[ti, keep].astype(np.float64)
+        fpt = (~tp[ti, keep]).astype(np.float64)
+        cum_tp, cum_fp = np.cumsum(tpt), np.cumsum(fpt)
+        recall = cum_tp / n_gt_total
+        precision = cum_tp / np.maximum(cum_tp + cum_fp, np.spacing(1))
+        # monotone envelope (pycocotools accumulate)
+        for i in range(len(precision) - 1, 0, -1):
+            precision[i - 1] = max(precision[i - 1], precision[i])
+        # precision at the first index with recall >= point, else 0
+        inds = np.searchsorted(recall, RECALL_POINTS, side="left")
+        q = np.zeros(len(RECALL_POINTS), np.float64)
+        valid = inds < len(precision)
+        q[valid] = precision[inds[valid]]
+        ap[ti] = q.mean()
+    return ap
+
+
+def calculate_coco_map(det_boxes, det_labels, det_scores, true_boxes,
+                       true_labels, true_difficulties, classes_name,
+                       max_dets: int = 100) -> dict:
+    """COCO metric family over the ops/ap.py input contract.
+
+    Returns ``{"AP": mean over classes & IoU 0.5:0.95, "AP50": ...,
+    "AP75": ..., "per_class": {name: AP}}``. ``true_difficulties`` maps
+    to the COCO ignore flag; classes with no non-difficult ground truth
+    are skipped (pycocotools' -1 convention).
+    """
+    assert len(det_boxes) == len(det_labels) == len(det_scores) \
+        == len(true_boxes) == len(true_labels) == len(true_difficulties)
+    per_class = {}
+    ap_stack = []
+    for c in range(1, len(classes_name)):
+        ap = _class_precision_recall(
+            c, true_labels, det_labels, true_boxes, true_difficulties,
+            det_boxes, det_scores, max_dets)
+        if ap is None:
+            continue
+        per_class[classes_name[c]] = float(ap.mean())
+        ap_stack.append(ap)
+    if not ap_stack:
+        return {"AP": 0.0, "AP50": 0.0, "AP75": 0.0, "per_class": {}}
+    ap_stack = np.stack(ap_stack)              # (C, T)
+    return {
+        "AP": float(ap_stack.mean()),
+        "AP50": float(ap_stack[:, 0].mean()),
+        "AP75": float(ap_stack[:, 5].mean()),
+        "per_class": per_class,
+    }

