@@ -95,6 +95,10 @@ def get_params(argv=None):
     parser.add_argument("--img-size", default=96, type=int)
     parser.add_argument("--init-from", default="", type=str,
                         help="npz params file (e.g. converted torch weights)")
+    parser.add_argument("--profile-steps", default=0, type=int,
+                        help="capture a jax.profiler device trace of N "
+                             "warm train steps into "
+                             "<tensorboard>/profile (0 = off)")
     parser.add_argument("--ema-decay", default=0.0, type=float,
                         help="EMA decay for eval weights (0 = off, "
                              "0.999-0.9999 typical); evaluation and "
@@ -169,6 +173,7 @@ def main(args, report=None):
                          if "NNI_OUTPUT_DIR" in os.environ else "tensorboard"),
         nms_top_k=int(model_cfg.get("nms_top_k", 512)),
         ema_decay=args.ema_decay,
+        profile_steps=args.profile_steps,
     )
     device_normalize = not args.synthetic and not args.host_normalize
     device_pixel_aug = args.device_pixel_aug and device_normalize

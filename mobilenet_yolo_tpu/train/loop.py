@@ -85,6 +85,10 @@ class TrainerConfig:
     # maintains ema_params and evaluation/best-model selection use them
     # (train/state.py). Beyond-reference training stabilizer.
     ema_decay: float = 0.0
+    # capture a jax.profiler device trace of this many train steps (after
+    # the compile step) into <tensorboard_dir or checkpoint_dir>/profile,
+    # loadable in TensorBoard's profile plugin / Perfetto. 0 = off.
+    profile_steps: int = 0
 
 
 class Trainer:
@@ -158,6 +162,12 @@ class Trainer:
         self.tb = TensorBoardWriter(cfg.tensorboard_dir)
         self.logger = None
         self.best_acc = 0.0
+        self._profiled = False
+
+    def _profile_dir(self) -> str:
+        import os
+        return os.path.join(self.cfg.tensorboard_dir
+                            or self.cfg.checkpoint_dir, "profile")
 
     # ------------------------------------------------------------- resume --
     def maybe_resume(self) -> bool:
@@ -203,6 +213,12 @@ class Trainer:
             self._log(f"  resuming epoch {epoch} at batch {start_batch}")
         meters = MeterDict()
         start = time.time()
+        # one-shot device trace: let batches 0-1 compile and warm up, then
+        # capture the next profile_steps steps (the trace starts after
+        # blocking on batch 1 and stops after blocking on the last traced
+        # step, so whole device executions land inside the capture)
+        profile_at = (1 if (self.cfg.profile_steps and not self._profiled
+                            and start_batch == 0) else None)
 
         # Metrics are consumed one batch late: materializing them (a host
         # scalar fetch) immediately after dispatch would sync on every
@@ -261,6 +277,17 @@ class Trainer:
                     jit_plan = shard_batch(self.mesh, jit_plan)
                 self.state, metrics = self.train_step(self.state, *args,
                                                       *seg, *jit_plan)
+            if profile_at is not None:
+                if j == profile_at:
+                    jax.block_until_ready(metrics)  # batch 0 fully done
+                    jax.profiler.start_trace(self._profile_dir())
+                if j == profile_at + self.cfg.profile_steps:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    self._profiled = True
+                    profile_at = None
+                    self._log(f"  wrote {self.cfg.profile_steps}-step "
+                              f"device trace to {self._profile_dir()}")
             if pending is not None:
                 drain(pending)
             pending = (i, batch["gt"].shape[0], metrics)

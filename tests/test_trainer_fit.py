@@ -135,3 +135,24 @@ def test_fit_on_mesh_matches_single_device(tmp_path):
     mAP, _ = trainer3.evaluate(_loader_factory(seeds, batch_size=8)())
     assert np.isfinite(mAP)
     trainer3.ckpt.close()
+
+
+def test_profile_steps_writes_trace(tmp_path):
+    """TrainerConfig.profile_steps captures a one-shot jax.profiler device
+    trace of warm train steps into <tensorboard_dir>/profile."""
+    import glob
+
+    model = MBv2YOLO(num_classes=3, num_anchors=3, width_mult=0.35)
+    tcfg = TrainerConfig(epochs=1, learning_rate=1e-3,
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         tensorboard_dir=str(tmp_path / "tb"),
+                         eval_every=2, profile_steps=1)
+    trainer = Trainer(model, CFG, ["background", "a", "b", "c"], tcfg,
+                      verbose=False)
+    seeds = {"n": 0}
+    trainer.fit(_loader_factory(seeds), _loader_factory(seeds))
+    trainer.ckpt.close()
+    xplanes = glob.glob(str(tmp_path / "tb" / "profile" / "**" /
+                            "*.xplane.pb"), recursive=True)
+    assert xplanes, "no xplane trace written"
+    assert trainer._profiled
