@@ -26,3 +26,4 @@ from mobilenet_yolo_tpu.ops.losses import (  # noqa: F401
 )
 from mobilenet_yolo_tpu.ops.nms import batched_nms  # noqa: F401
 from mobilenet_yolo_tpu.ops.ap import calculate_mAP  # noqa: F401
+from mobilenet_yolo_tpu.ops.coco_ap import calculate_coco_map  # noqa: F401

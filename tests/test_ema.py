@@ -42,7 +42,7 @@ def test_ema_update_math():
                                    learning_rate=2e-3, batch_size=2,
                                    ema=True)
     p0 = jax.tree.map(np.asarray, state.params)
-    step = make_train_step(model, CFG, tx, ema_decay=d)
+    step = make_train_step(model, CFG, tx, ema_decay=d, ema_ramp=0)
     new_state, _ = step(state, *batch)
 
     p1 = jax.tree.map(np.asarray, new_state.params)
@@ -55,6 +55,28 @@ def test_ema_update_math():
     # and the EMA genuinely lags the live params
     l0 = jax.tree.leaves(p1)[0]
     assert not np.allclose(jax.tree.leaves(ema1)[0], l0)
+
+
+def test_ema_ramp_warmup():
+    """With the default warmup ramp, the effective decay after step t is
+    d * (1 - exp(-t / ramp)) — at t=1, ramp=2000 the EMA is ~the live
+    params (not 75% random init like the constant-decay form)."""
+    model, batch = _model_and_batch()
+    d, ramp = 0.75, 2000.0
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), (96, 96),
+                                   learning_rate=2e-3, batch_size=2,
+                                   ema=True)
+    p0 = jax.tree.map(np.asarray, state.params)
+    step = make_train_step(model, CFG, tx, ema_decay=d, ema_ramp=ramp)
+    new_state, _ = step(state, *batch)
+    p1 = jax.tree.map(np.asarray, new_state.params)
+    ema1 = jax.tree.map(np.asarray, new_state.ema_params)
+    d1 = d * (1.0 - np.exp(-1.0 / ramp))
+
+    def check(a0, a1, e1):
+        np.testing.assert_allclose(e1, d1 * a0 + (1 - d1) * a1,
+                                   rtol=1e-5, atol=1e-7)
+    jax.tree.map(check, p0, p1, ema1)
 
 
 def test_ema_off_keeps_none():
@@ -87,7 +109,7 @@ def test_geometry_step_updates_ema(rng):
                                    ema=True)
     p0 = jax.tree.map(np.asarray, state.params)
     step = make_geometry_train_step(model, CFG, tx, fused_aug=False,
-                                    ema_decay=d)
+                                    ema_decay=d, ema_ramp=0)
     b = 2
     full = np.tile(np.float32([0, 0, 1, 1]), (b, 4, 1))
     act = np.zeros((b, 4), bool)
