@@ -77,6 +77,14 @@ def main(argv=None):
     for trial in range(args.trials):
         params = sample_params(space, rng)
         ckdir = os.path.join(args.workdir, f"trial_{trial}")
+        if os.path.isdir(ckdir) and os.listdir(ckdir):
+            # a stale trial dir would make cli_train AUTO-RESUME from the
+            # previous run's checkpoint (zero epochs trained) and record
+            # the OLD weights' mAP as this trial's freshly-sampled params'
+            # score — refuse instead of corrupting the search
+            raise FileExistsError(
+                f"{ckdir} already holds a previous run's checkpoints; "
+                "pass a fresh --workdir (or delete the old one)")
         argv_t = ["-y", args.data_yaml, "--epochs", str(args.epochs),
                   "-c", ckdir, "-o", ckdir]
         if args.batch_size:

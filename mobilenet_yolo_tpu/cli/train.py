@@ -262,11 +262,16 @@ def main(args, report=None):
             output_uint8=device_normalize,
             device_geometry=device_geometry,
             stage_size=args.stage_size, **loader_kw)
+        # shard_by_process=False: under multi-host every host evaluates
+        # the FULL test set, so metrics — and the val_conf controller fed
+        # by them — stay identical on every host (lockstep); the
+        # mesh-sharded eval speedup applies in single-host multi-chip runs
         eval_loader_obj = Loader(test_ds, bs,
                                  [[model_cfg["img_w"], model_cfg["img_h"]]],
                                  norm["mean"], norm["std"], shuffle=False,
                                  pad_final=False,
-                                 output_uint8=device_normalize)
+                                 output_uint8=device_normalize,
+                                 shard_by_process=False)
 
         def train_loader():
             return train_loader_obj

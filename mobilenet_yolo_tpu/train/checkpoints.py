@@ -52,6 +52,55 @@ class CheckpointManager:
             return None
         return self.restore(step, template)
 
+    def restore_latest_flexible(self, template: TrainState
+                                ) -> Optional[TrainState]:
+        """Template restore that survives TrainState schema drift.
+
+        A strict ``restore_latest(template)`` rejects checkpoints whose
+        field set differs from the template's — e.g. pre-``ema_params``
+        checkpoints, or a run resumed with a different ``--ema-decay``
+        setting. Here the restore template is built from the CHECKPOINT's
+        own field set (so optax state classes survive), then merged into
+        the caller's template: missing fields keep the template default,
+        and turning EMA on over a non-EMA checkpoint seeds the average
+        from the restored params.
+        """
+        step = self.latest_step()
+        if step is None:
+            return None
+        try:
+            return self.restore(step, template)
+        except Exception:
+            pass
+        meta = self._mgr.item_metadata(step)
+        tree = getattr(meta, "tree", None) or getattr(meta, "item", meta)
+        saved = dict(tree) if hasattr(tree, "keys") else None
+        if saved is None:
+            raise RuntimeError(
+                f"checkpoint {step} structure unreadable for flexible "
+                "restore")
+        tpl = {}
+        for k, v in saved.items():
+            if v is None:
+                # saved-None field (e.g. ema_params of a non-EMA run):
+                # the restore template must carry the None explicitly —
+                # omitting the key is a structure mismatch
+                tpl[k] = None
+                continue
+            field = getattr(template, k, None)
+            if field is None and k == "ema_params":
+                field = template.params       # structural stand-in
+            if field is not None:
+                tpl[k] = field
+        raw = self._mgr.restore(step, args=ocp.args.StandardRestore(tpl))
+        ema = raw.get("ema_params")
+        if template.ema_params is not None and ema is None:
+            ema = raw["params"]
+        if template.ema_params is None:
+            ema = None                        # this run has EMA off
+        merged = {k: v for k, v in raw.items() if k != "ema_params"}
+        return template.replace(ema_params=ema, **merged)
+
     def restore_latest_raw(self) -> Optional[dict]:
         """Template-free restore of the latest step as a raw field dict.
 

@@ -163,6 +163,7 @@ class Trainer:
         self.logger = None
         self.best_acc = 0.0
         self._profiled = False
+        self._trace_open = False
 
     def _profile_dir(self) -> str:
         import os
@@ -171,7 +172,9 @@ class Trainer:
 
     # ------------------------------------------------------------- resume --
     def maybe_resume(self) -> bool:
-        restored = self.ckpt.restore_latest(self.state)
+        # flexible: survives TrainState schema drift (pre-ema_params
+        # checkpoints, --ema-decay toggled between save and resume)
+        restored = self.ckpt.restore_latest_flexible(self.state)
         if restored is None:
             return False
         self.state = restored
@@ -269,8 +272,22 @@ class Trainer:
                 if self.device_pixel_aug:
                     # host-planned per-image photometric programs (op order
                     # + factors), applied on device in planned order
+                    if "jitter_op" not in batch:
+                        raise ValueError(
+                            "device_pixel_aug=True but the batch carries "
+                            "no jitter plans — build the dataset with "
+                            "apply_photometric=False so the Loader emits "
+                            "them (cli/train.py wires this; see "
+                            "Loader._collate)")
                     jit_plan = (jnp.asarray(batch["jitter_op"]),
                                 jnp.asarray(batch["jitter_factor"]))
+                elif "jitter_op" in batch:
+                    raise ValueError(
+                        "batch carries host-planned jitter programs but "
+                        "device_pixel_aug=False — the photometric "
+                        "augmentation would be silently dropped; pass "
+                        "device_pixel_aug=True (or rebuild the dataset "
+                        "with apply_photometric=True)")
                 if self.mesh is not None:
                     args = shard_batch(self.mesh, args)
                     seg = shard_batch(self.mesh, seg)
@@ -281,9 +298,11 @@ class Trainer:
                 if j == profile_at:
                     jax.block_until_ready(metrics)  # batch 0 fully done
                     jax.profiler.start_trace(self._profile_dir())
+                    self._trace_open = True
                 if j == profile_at + self.cfg.profile_steps:
                     jax.block_until_ready(metrics)
                     jax.profiler.stop_trace()
+                    self._trace_open = False
                     self._profiled = True
                     profile_at = None
                     self._log(f"  wrote {self.cfg.profile_steps}-step "
@@ -300,6 +319,16 @@ class Trainer:
                 self.ckpt.save(self._ckpt_step(epoch, i + 1), self.state)
         if pending is not None:
             drain(pending)
+        if self._trace_open:
+            # profile_steps >= the epoch's remaining batches: the in-loop
+            # stop never fired — close the (shorter) trace here rather
+            # than leaving it open (a second start_trace would raise)
+            jax.profiler.stop_trace()
+            self._trace_open = False
+            self._profiled = True
+            self._log(f"  wrote device trace (shorter than the requested "
+                      f"{self.cfg.profile_steps} steps — epoch ended) to "
+                      f"{self._profile_dir()}")
         avgs = meters.averages()
         avgs["lr"] = lr
         avgs["epoch_time"] = time.time() - start
@@ -318,6 +347,14 @@ class Trainer:
                        else self.state.params)
         variables = {"params": eval_params,
                      "batch_stats": self.state.batch_stats}
+        if jax.process_count() > 1:
+            # multi-host keeps a MESHLESS predict (every host evaluates
+            # the full set for lockstep metrics/val_conf — the eval
+            # loader is built shard_by_process=False); the train state's
+            # leaves are pod-global arrays a local jit cannot consume, so
+            # pull the (replicated) values to host and feed local copies
+            variables = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)),
+                                     variables)
         res = evaluate_detection(
             self.predict, variables, loader, self.classes_name,
             float(self.state.val_conf),

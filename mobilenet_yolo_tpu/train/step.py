@@ -71,12 +71,19 @@ def make_loss_fn(model, config: dict, segmentation: bool = False,
         norm_mean = np.asarray(norm_cfg["mean"], np.float32)
         norm_std = np.asarray(norm_cfg["std"], np.float32)
 
+    model_dtype = getattr(model, "dtype", None)
+
     def loss_fn(params, batch_stats, images, gt, n_gt, seg_maps=None, train=True):
         if normalize:
-            # uint8 input normalizes in f32 (host-parity numerics); a
-            # float input (e.g. the bf16 aug stages' output) keeps its
-            # dtype — it feeds a same-dtype forward anyway
-            dt = (images.dtype if jnp.issubdtype(images.dtype, jnp.floating)
+            # uint8 input normalizes in f32 (host-parity numerics). A
+            # float input (e.g. the bf16 fused-aug output) keeps its dtype
+            # ONLY when the model computes in it anyway; under an f32
+            # model the normalize upcasts to f32 so the forward sees f32
+            # inputs (the bf16 pixel quantization already happened — this
+            # keeps the normalize math and conv inputs at model precision)
+            dt = (images.dtype
+                  if (jnp.issubdtype(images.dtype, jnp.floating)
+                      and model_dtype is not None)
                   else jnp.float32)
             images = (images.astype(dt) / 255.0
                       - norm_mean.astype(dt)) / norm_std.astype(dt)

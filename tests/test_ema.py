@@ -202,3 +202,53 @@ def test_trainer_fit_with_ema_and_raw_restore(tmp_path):
     assert raw2["params"] is not None
     trainer.ckpt.close()
     t2.ckpt.close()
+
+
+def test_resume_across_ema_toggle(tmp_path):
+    """Checkpoints survive TrainState schema drift: a run saved WITH EMA
+    resumes into a non-EMA trainer (field dropped), and a non-EMA
+    checkpoint resumes into an EMA trainer (average seeded from the
+    restored params) — restore_latest_flexible."""
+    from mobilenet_yolo_tpu.train.loop import Trainer, TrainerConfig
+
+    model = MBv2YOLO(num_classes=3, num_anchors=3, width_mult=0.35)
+    seeds = {"n": 0}
+    names = ["bg", "a", "b"]
+
+    cfg_ema = TrainerConfig(epochs=1, learning_rate=2e-3,
+                            checkpoint_dir=str(tmp_path / "ck_ema"),
+                            tensorboard_dir=None, ema_decay=0.9)
+    t = Trainer(model, FIT_CFG, names, cfg_ema, verbose=False)
+    t.fit(_loader_factory(seeds), _loader_factory(seeds))
+    t.ckpt.close()
+
+    cfg_off = TrainerConfig(epochs=1, learning_rate=2e-3,
+                            checkpoint_dir=str(tmp_path / "ck_ema"),
+                            tensorboard_dir=None)       # EMA off
+    t2 = Trainer(model, FIT_CFG, names, cfg_off, verbose=False)
+    assert t2.maybe_resume()
+    assert t2.state.ema_params is None
+    assert int(t2.state.epoch) == 1
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(t2.state.params)[0]),
+        np.asarray(jax.tree.leaves(t.state.params)[0]))
+    t2.ckpt.close()
+
+    cfg_plain = TrainerConfig(epochs=1, learning_rate=2e-3,
+                              checkpoint_dir=str(tmp_path / "ck_plain"),
+                              tensorboard_dir=None)
+    t3 = Trainer(model, FIT_CFG, names, cfg_plain, verbose=False)
+    t3.fit(_loader_factory(seeds), _loader_factory(seeds))
+    t3.ckpt.close()
+
+    cfg_on = TrainerConfig(epochs=1, learning_rate=2e-3,
+                           checkpoint_dir=str(tmp_path / "ck_plain"),
+                           tensorboard_dir=None, ema_decay=0.9)
+    t4 = Trainer(model, FIT_CFG, names, cfg_on, verbose=False)
+    assert t4.maybe_resume()
+    assert t4.state.ema_params is not None
+    # EMA seeded from the RESTORED params, not the fresh init
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(t4.state.ema_params)[0]),
+        np.asarray(jax.tree.leaves(t3.state.params)[0]))
+    t4.ckpt.close()

@@ -79,3 +79,18 @@ def test_random_search_sampler():
     args = get_params(["-y", "x.yaml"])
     for k in space:
         assert hasattr(args, k), k
+
+
+def test_random_search_refuses_stale_workdir(tmp_path):
+    """Re-running with an existing trial dir would silently auto-resume
+    the OLD checkpoints and score stale weights against fresh params —
+    the driver must refuse instead."""
+    import pytest
+    from hpo import random_search
+
+    stale = tmp_path / "trial_0"
+    stale.mkdir(parents=True)
+    (stale / "leftover").write_text("x")
+    with pytest.raises(FileExistsError, match="previous run"):
+        random_search.main(["-y", "unused.yaml", "--trials", "1",
+                            "--workdir", str(tmp_path)])

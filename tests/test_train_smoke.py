@@ -95,3 +95,38 @@ def test_with_lr_updates_hyperparam():
                                    learning_rate=1e-3, batch_size=1)
     state = state.with_lr(5e-4)
     assert float(state.opt_state.hyperparams["learning_rate"]) == np.float32(5e-4)
+
+
+def test_normalize_upcasts_bf16_input_for_f32_model():
+    """normalize=True on a float (bf16) input under an F32 model runs the
+    normalize math in f32 (upcast), matching the host computation on the
+    same quantized pixels exactly — the bf16 dtype is only kept when the
+    model computes in it anyway."""
+    from mobilenet_yolo_tpu.train.step import make_loss_fn
+
+    cfg = dict(CFG)
+    cfg["normalize"] = {"mean": [0.45, 0.5, 0.55], "std": [0.9, 1.0, 1.1]}
+    model = MBv2YOLO(num_classes=4, num_anchors=3, width_mult=0.35)  # f32
+    rng = np.random.default_rng(0)
+    raw_bf16 = jnp.asarray(
+        rng.integers(0, 255, (2, 96, 96, 3)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    m = np.asarray(cfg["normalize"]["mean"], np.float32)
+    s = np.asarray(cfg["normalize"]["std"], np.float32)
+    host_norm = ((np.asarray(raw_bf16, np.float32) / 255.0) - m) / s
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(host_norm), train=False)
+    gt = np.zeros((2, 4, 5), np.float32)
+    gt[:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    n_gt = np.ones((2,), np.int32)
+
+    plain = make_loss_fn(model, cfg)
+    fused = make_loss_fn(model, cfg, normalize=True)
+    loss_a, _ = plain(variables["params"], variables["batch_stats"],
+                      jnp.asarray(host_norm), jnp.asarray(gt),
+                      jnp.asarray(n_gt), train=False)
+    loss_b, _ = fused(variables["params"], variables["batch_stats"],
+                      raw_bf16, jnp.asarray(gt), jnp.asarray(n_gt),
+                      train=False)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)

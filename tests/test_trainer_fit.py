@@ -156,3 +156,56 @@ def test_profile_steps_writes_trace(tmp_path):
                             "*.xplane.pb"), recursive=True)
     assert xplanes, "no xplane trace written"
     assert trainer._profiled
+
+
+def test_profile_steps_longer_than_epoch(tmp_path):
+    """profile_steps >= the epoch's batches: the trace is closed at epoch
+    end (shorter capture) instead of leaking an open trace that would
+    crash the next epoch's start_trace."""
+    import glob
+
+    model = MBv2YOLO(num_classes=3, num_anchors=3, width_mult=0.35)
+    tcfg = TrainerConfig(epochs=2, learning_rate=1e-3,
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         tensorboard_dir=str(tmp_path / "tb"),
+                         eval_every=2, profile_steps=10)  # > 3 batches
+    trainer = Trainer(model, CFG, ["background", "a", "b", "c"], tcfg,
+                      verbose=False)
+    seeds = {"n": 0}
+    trainer.fit(_loader_factory(seeds), _loader_factory(seeds))
+    trainer.ckpt.close()
+    assert trainer._profiled and not trainer._trace_open
+    assert glob.glob(str(tmp_path / "tb" / "profile" / "**" /
+                         "*.xplane.pb"), recursive=True)
+
+
+def test_device_pixel_aug_batch_contract(tmp_path):
+    """A device_pixel_aug Trainer rejects batches without jitter plans
+    (and the inverse: plan-carrying batches without device_pixel_aug),
+    instead of KeyError / silently dropping augmentation."""
+    import pytest
+
+    model = MBv2YOLO(num_classes=3, num_anchors=3, width_mult=0.35)
+    tcfg = TrainerConfig(epochs=1, learning_rate=1e-3,
+                         checkpoint_dir=str(tmp_path / "ck"),
+                         tensorboard_dir=None)
+    seeds = {"n": 0}
+
+    t1 = Trainer(model, CFG, ["background", "a", "b", "c"], tcfg,
+                 verbose=False, device_normalize=True,
+                 device_pixel_aug=True)
+    with pytest.raises(ValueError, match="jitter plans"):
+        t1.train_epoch(_loader_factory(seeds)(), epoch=0)
+    t1.ckpt.close()
+
+    t2 = Trainer(model, CFG, ["background", "a", "b", "c"], tcfg,
+                 verbose=False)
+
+    def plan_loader():
+        for b in _loader_factory(seeds)():
+            b["jitter_op"] = np.full((4, 5), -1, np.int32)
+            b["jitter_factor"] = np.ones((4, 5), np.float32)
+            yield b
+    with pytest.raises(ValueError, match="device_pixel_aug=False"):
+        t2.train_epoch(plan_loader(), epoch=0)
+    t2.ckpt.close()
