@@ -284,3 +284,37 @@ def test_fused_step_matches_xla_step(rng):
         losses[mode] = float(metrics["loss"])
     assert np.isclose(losses["interpret"], losses[False],
                       rtol=0.1), losses
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG stream needs a real TPU")
+def test_full_kernel_noise_stream_stats_tpu(rng):
+    """The FULL aug+compose kernel's on-core PRNG (one stream per
+    (image, tile), hashed like the split kernel's): mean ~0, std ~scale
+    on an identity compose of uniform tiles, per-image decorrelation,
+    keyed determinism (compiled on hardware)."""
+    from mobilenet_yolo_tpu.ops.device_augment import fused_aug_compose
+
+    b, s = 4, 64
+    slots = np.full((b, 4, s, s, 3), 128, np.uint8)
+    full = np.tile(np.float32([0, 0, 1, 1]), (b, 4, 1))
+    act = np.zeros((b, 4), bool)
+    act[:, 0] = True                      # identity paste of tile 0
+    def run(key):
+        return np.asarray(fused_aug_compose(
+            jnp.asarray(slots), jnp.asarray(full), jnp.asarray(full),
+            jnp.asarray(full), jnp.full((b, 4, 3), 127.5, jnp.float32),
+            jnp.zeros((b, 4), bool), jnp.zeros((b, 4), bool),
+            jnp.asarray(act), (s, s),
+            jnp.ones((b, 4), bool), jnp.full((b, 4), 12.0, jnp.float32),
+            jnp.zeros((b, 4), bool), jnp.full((b, 4, 5), -1, jnp.int32),
+            jnp.ones((b, 4, 5), jnp.float32), key,
+            dtype=jnp.float32, full=True), np.float32)
+    out = run(jax.random.PRNGKey(1))
+    delta = out - 128.0
+    for i in range(b):
+        assert abs(delta[i].mean()) < 0.5
+        assert abs(delta[i].std() - 12.0) < 1.2, delta[i].std()
+    assert not np.array_equal(delta[0], delta[2])   # per-image streams
+    np.testing.assert_array_equal(out, run(jax.random.PRNGKey(1)))
+    assert not np.array_equal(out, run(jax.random.PRNGKey(2)))
