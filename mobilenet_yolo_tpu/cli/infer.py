@@ -26,7 +26,12 @@ def get_args(argv=None):
                         help="checkpoint dir (orbax) or .npz params file")
     parser.add_argument("-y", "--data_yaml", dest="data_yaml",
                         default=default_data_yaml())
-    parser.add_argument("-i", "--input", default="images/000166.jpg")
+    parser.add_argument("-i", "--input", default="images/000166.jpg",
+                        help="an image file, or a DIRECTORY of images "
+                             "(batched inference over every jpg/png)")
+    parser.add_argument("--batch-size", default=16, type=int,
+                        help="batch size for directory input (one "
+                             "compiled program; the tail batch is padded)")
     parser.add_argument("--backbone", default="mbv2",
                         choices=["mbv2", "mbv3", "mbv3_macc"])
     parser.add_argument("--img-size", default=416, type=int)
@@ -76,13 +81,21 @@ def main(args):
     classes = cfg.data["classes"]["map"]
     model = build_model(cfg.model, args.backbone)
 
-    original = Image.open(args.input).convert("RGB")
-    width, height = original.size
     s = args.img_size
-    resized = original.resize((s, s), Image.BILINEAR)
-    x = np.asarray(resized, np.float32) / 255.0
-    x = (x - 0.5) / 1.0
-    x = jnp.asarray(x[None])
+
+    def prep(path):
+        """Reference preprocessing (inference.py:111-115): resize to the
+        inference size, normalize (0.5,)/(1,)."""
+        original = Image.open(path).convert("RGB")
+        resized = original.resize((s, s), Image.BILINEAR)
+        x = (np.asarray(resized, np.float32) / 255.0 - 0.5) / 1.0
+        return original, x
+
+    if os.path.isdir(args.input):
+        return _run_directory(args, cfg, classes, model, prep)
+
+    original, x0 = prep(args.input)
+    x = jnp.asarray(x0[None])
 
     variables = load_variables(model, args.checkpoint, x,
                                random_ok=args.random_weights)
@@ -99,16 +112,24 @@ def main(args):
     print(f"model inference time : {per_call * 1000:.2f} ms "
           f"(chained mean of 16)")
 
-    from mobilenet_yolo_tpu.utils.visualize import (
-        draw_detections, overlay_seg_maps, save_image)
-
     dets = np.asarray(out[0][0])
     keep = np.asarray(out[1][0])
     seg_maps = np.asarray(out[2][0]) if len(out) > 2 else None
+    out_path = _draw_and_save(args, classes, original, args.input,
+                              dets, keep, seg_maps, verbose=True)
+    print(out_path)
+    return out_path
+
+
+def _draw_and_save(args, classes, original, src_path, dets, keep,
+                   seg_maps, verbose=False):
+    from mobilenet_yolo_tpu.utils.visualize import (
+        draw_detections, overlay_seg_maps, save_image)
 
     # draw gate: conf * cls_conf > 0.15 (reference inference.py:83)
     shown = dets[keep & (dets[:, 4] * dets[:, 5] > 0.15)]
-    print(f"{len(shown)} detections drawn")
+    if verbose:
+        print(f"{len(shown)} detections drawn")
     annotated = draw_detections(
         np.asarray(original), shown[:, :4],
         labels=shown[:, 6].astype(int), scores=shown[:, 4] * shown[:, 5],
@@ -118,11 +139,69 @@ def main(args):
         annotated = overlay_seg_maps(annotated, seg_maps, channels=(1, 0))
 
     os.makedirs(args.out_dir, exist_ok=True)
-    name = os.path.basename(args.input).split(".")[0]
+    name = os.path.basename(src_path).split(".")[0]
     out_path = os.path.join(args.out_dir, f"{name}_result.jpg")
     save_image(out_path, annotated)
-    print(out_path)
     return out_path
+
+
+def _run_directory(args, cfg, classes, model, prep):
+    """Batched inference over a directory: ONE compiled program at
+    --batch-size (the tail batch is zero-padded), annotated results
+    written per image with the reference's <name>_result.jpg naming."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from mobilenet_yolo_tpu.eval import make_predict_fn
+
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    paths = sorted(
+        os.path.join(args.input, f) for f in os.listdir(args.input)
+        if f.lower().endswith(exts))
+    if not paths:
+        raise FileNotFoundError(f"no images under {args.input}")
+    bs = max(1, args.batch_size)
+    s = args.img_size
+
+    x0 = jnp.zeros((bs, s, s, 3), jnp.float32)
+    variables = load_variables(model, args.checkpoint, x0,
+                               random_ok=args.random_weights)
+    predict = make_predict_fn(model, cfg.model)
+    jax.block_until_ready(predict(variables, x0,
+                                  jnp.float32(args.val_conf))[0])
+
+    written = []
+    t_warm = n_warm = 0.0
+    t0 = time.perf_counter()
+    for start in range(0, len(paths), bs):
+        chunk = paths[start:start + bs]
+        originals, arrays = zip(*(prep(p) for p in chunk))
+        batch = np.zeros((bs, s, s, 3), np.float32)
+        batch[:len(chunk)] = np.stack(arrays)
+        out = predict(variables, jnp.asarray(batch),
+                      jnp.float32(args.val_conf))
+        dets = np.asarray(out[0])      # materialize = sync this batch
+        keep = np.asarray(out[1])
+        segs = np.asarray(out[2]) if len(out) > 2 else None
+        for i, (orig, path) in enumerate(zip(originals, chunk)):
+            written.append(_draw_and_save(
+                args, classes, orig, path, dets[i], keep[i],
+                segs[i] if segs is not None else None))
+        if start == 0:
+            # the first batch can absorb one-time compile/transfer work
+            # (block_until_ready is untrustworthy under remote relays,
+            # PERF.md) — report the warm rate from the second batch on
+            t_warm = time.perf_counter()
+            n_warm = len(written)
+    dt = time.perf_counter() - t0
+    rate = ""
+    if len(written) > n_warm:
+        warm = (len(written) - n_warm) / (time.perf_counter() - t_warm)
+        rate = (f" ({warm:.1f} img/s warm, end-to-end incl. decode, "
+                f"drawing and JPEG writes; {dt:.1f}s total)")
+    print(f"{len(written)} images -> {args.out_dir}{rate}")
+    return written
 
 
 if __name__ == "__main__":
