@@ -74,17 +74,21 @@ def main(argv=None):
         space = json.load(f)
     rng = np.random.default_rng(args.seed)
     rows = []
+    # refuse stale trial dirs UP FRONT (before any training is spent):
+    # cli_train would AUTO-RESUME from an old run's checkpoint (zero
+    # epochs trained) and record the OLD weights' mAP as the freshly
+    # sampled params' score — corrupting the search silently
+    stale = [d for d in (os.path.join(args.workdir, f"trial_{t}")
+                         for t in range(args.trials))
+             if os.path.isdir(d) and os.listdir(d)]
+    if stale:
+        raise FileExistsError(
+            f"{stale[0]} already holds a previous run's checkpoints "
+            f"({len(stale)} stale trial dir(s) total); pass a fresh "
+            "--workdir (or delete the old one)")
     for trial in range(args.trials):
         params = sample_params(space, rng)
         ckdir = os.path.join(args.workdir, f"trial_{trial}")
-        if os.path.isdir(ckdir) and os.listdir(ckdir):
-            # a stale trial dir would make cli_train AUTO-RESUME from the
-            # previous run's checkpoint (zero epochs trained) and record
-            # the OLD weights' mAP as this trial's freshly-sampled params'
-            # score — refuse instead of corrupting the search
-            raise FileExistsError(
-                f"{ckdir} already holds a previous run's checkpoints; "
-                "pass a fresh --workdir (or delete the old one)")
         argv_t = ["-y", args.data_yaml, "--epochs", str(args.epochs),
                   "-c", ckdir, "-o", ckdir]
         if args.batch_size:

@@ -122,7 +122,7 @@ def main(args):
 
 
 def _draw_and_save(args, classes, original, src_path, dets, keep,
-                   seg_maps, verbose=False):
+                   seg_maps, verbose=False, used: set | None = None):
     from mobilenet_yolo_tpu.utils.visualize import (
         draw_detections, overlay_seg_maps, save_image)
 
@@ -139,8 +139,17 @@ def _draw_and_save(args, classes, original, src_path, dets, keep,
         annotated = overlay_seg_maps(annotated, seg_maps, channels=(1, 0))
 
     os.makedirs(args.out_dir, exist_ok=True)
-    name = os.path.basename(src_path).split(".")[0]
+    # splitext keeps dotted stems (img.v2.jpg -> img.v2); a counter
+    # suffix disambiguates same-stem inputs (im0.jpg + im0.png) within
+    # one directory run instead of silently overwriting
+    name = os.path.splitext(os.path.basename(src_path))[0]
     out_path = os.path.join(args.out_dir, f"{name}_result.jpg")
+    n = 1
+    while used is not None and out_path in used:
+        out_path = os.path.join(args.out_dir, f"{name}_result.{n}.jpg")
+        n += 1
+    if used is not None:
+        used.add(out_path)
     save_image(out_path, annotated)
     return out_path
 
@@ -172,6 +181,7 @@ def _run_directory(args, cfg, classes, model, prep):
                                   jnp.float32(args.val_conf))[0])
 
     written = []
+    used: set = set()
     t_warm = n_warm = 0.0
     t0 = time.perf_counter()
     for start in range(0, len(paths), bs):
@@ -187,7 +197,7 @@ def _run_directory(args, cfg, classes, model, prep):
         for i, (orig, path) in enumerate(zip(originals, chunk)):
             written.append(_draw_and_save(
                 args, classes, orig, path, dets[i], keep[i],
-                segs[i] if segs is not None else None))
+                segs[i] if segs is not None else None, used=used))
         if start == 0:
             # the first batch can absorb one-time compile/transfer work
             # (block_until_ready is untrustworthy under remote relays,

@@ -196,7 +196,10 @@ def main(args, report=None):
         from mobilenet_yolo_tpu.train.checkpoints import CheckpointManager
         src = args.resume if os.path.isdir(args.resume) \
             else os.path.dirname(args.resume)
-        restored = CheckpointManager(src).restore_latest(trainer.state)
+        # flexible: tolerates TrainState schema drift (e.g. --ema-decay
+        # toggled between the saving and resuming runs), like auto-resume
+        restored = CheckpointManager(src).restore_latest_flexible(
+            trainer.state)
         assert restored is not None, f"no checkpoint found at {args.resume}"
         trainer.state = restored
         trainer.best_acc = float(restored.best_acc)

@@ -54,31 +54,34 @@ class CheckpointManager:
 
     def restore_latest_flexible(self, template: TrainState
                                 ) -> Optional[TrainState]:
-        """Template restore that survives TrainState schema drift.
+        """Template restore that survives OPTIONAL-field drift.
 
         A strict ``restore_latest(template)`` rejects checkpoints whose
         field set differs from the template's — e.g. pre-``ema_params``
         checkpoints, or a run resumed with a different ``--ema-decay``
         setting. Here the restore template is built from the CHECKPOINT's
         own field set (so optax state classes survive), then merged into
-        the caller's template: missing fields keep the template default,
-        and turning EMA on over a non-EMA checkpoint seeds the average
-        from the restored params.
+        the caller's template: fields the checkpoint lacks keep the
+        template default, saved-None optional fields restore as None, and
+        turning EMA on over a non-EMA checkpoint seeds the average from
+        the restored params. A non-None checkpoint field UNKNOWN to this
+        TrainState (a removed/renamed field) cannot be reconstructed and
+        raises — that is real schema breakage, not optional drift.
         """
         step = self.latest_step()
         if step is None:
             return None
         try:
             return self.restore(step, template)
-        except Exception:
-            pass
+        except Exception as strict_err:
+            first_error = strict_err
         meta = self._mgr.item_metadata(step)
         tree = getattr(meta, "tree", None) or getattr(meta, "item", meta)
         saved = dict(tree) if hasattr(tree, "keys") else None
         if saved is None:
             raise RuntimeError(
                 f"checkpoint {step} structure unreadable for flexible "
-                "restore")
+                "restore") from first_error
         tpl = {}
         for k, v in saved.items():
             if v is None:
@@ -90,9 +93,22 @@ class CheckpointManager:
             field = getattr(template, k, None)
             if field is None and k == "ema_params":
                 field = template.params       # structural stand-in
-            if field is not None:
-                tpl[k] = field
-        raw = self._mgr.restore(step, args=ocp.args.StandardRestore(tpl))
+            if field is None:
+                raise RuntimeError(
+                    f"checkpoint {step} carries field {k!r} this "
+                    "TrainState has no counterpart for — cannot restore "
+                    "(real schema breakage, not optional-field drift); "
+                    f"strict-restore error: {first_error}"
+                ) from first_error
+            tpl[k] = field
+        try:
+            raw = self._mgr.restore(step, args=ocp.args.StandardRestore(tpl))
+        except Exception as flex_err:
+            # a second failure means the checkpoint itself is bad (corrupt
+            # shard, killed save) — surface the ORIGINAL strict error too
+            raise RuntimeError(
+                f"checkpoint {step} failed both strict and flexible "
+                f"restore; strict error: {first_error}") from flex_err
         ema = raw.get("ema_params")
         if template.ema_params is not None and ema is None:
             ema = raw["params"]

@@ -352,7 +352,17 @@ class Trainer:
             # the full set for lockstep metrics/val_conf — the eval
             # loader is built shard_by_process=False); the train state's
             # leaves are pod-global arrays a local jit cannot consume, so
-            # pull the (replicated) values to host and feed local copies
+            # pull the (replicated) values to host and feed local copies.
+            # Only DP-replicated state can be localized — model-axis
+            # (tensor-parallel) shards span non-addressable devices.
+            if (self.mesh is not None
+                    and self.mesh.shape.get("model", 1) > 1):
+                raise NotImplementedError(
+                    "multi-host evaluation with a tensor-parallel mesh "
+                    "is not supported: the params are sharded across "
+                    "hosts and the meshless eval cannot localize them — "
+                    "use a data-parallel-only mesh (--mesh N) for "
+                    "multi-host training with in-loop eval")
             variables = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)),
                                      variables)
         res = evaluate_detection(

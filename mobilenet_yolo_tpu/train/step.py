@@ -83,7 +83,8 @@ def make_loss_fn(model, config: dict, segmentation: bool = False,
             # keeps the normalize math and conv inputs at model precision)
             dt = (images.dtype
                   if (jnp.issubdtype(images.dtype, jnp.floating)
-                      and model_dtype is not None)
+                      and model_dtype is not None
+                      and jnp.dtype(model_dtype) == images.dtype)
                   else jnp.float32)
             images = (images.astype(dt) / 255.0
                       - norm_mean.astype(dt)) / norm_std.astype(dt)

@@ -83,3 +83,23 @@ def test_directory_empty_raises(tmp_path, rng):
         "--out-dir", str(tmp_path / "save")])
     with pytest.raises(FileNotFoundError):
         infer.main(args)
+
+
+def test_directory_same_stem_no_overwrite(tmp_path, rng):
+    """im0.jpg + im0.png must produce two distinct result files."""
+    from mobilenet_yolo_tpu.cli import infer
+
+    data_yaml = _write_configs(tmp_path)
+    d = str(tmp_path / "imgs")
+    os.makedirs(d)
+    img = rng.integers(0, 255, (60, 80, 3), np.uint8)
+    Image.fromarray(img).save(os.path.join(d, "im0.jpg"))
+    Image.fromarray(img ^ 255).save(os.path.join(d, "im0.png"))
+    args = infer.get_args([
+        "-y", data_yaml, "-i", d, "--img-size", "96", "--val-conf", "0.05",
+        "--random-weights", "--batch-size", "2",
+        "--out-dir", str(tmp_path / "save")])
+    written = infer.main(args)
+    assert len(written) == 2 and len(set(written)) == 2
+    for p in written:
+        assert os.path.isfile(p)

@@ -97,16 +97,21 @@ def test_with_lr_updates_hyperparam():
     assert float(state.opt_state.hyperparams["learning_rate"]) == np.float32(5e-4)
 
 
-def test_normalize_upcasts_bf16_input_for_f32_model():
-    """normalize=True on a float (bf16) input under an F32 model runs the
-    normalize math in f32 (upcast), matching the host computation on the
-    same quantized pixels exactly — the bf16 dtype is only kept when the
-    model computes in it anyway."""
+import pytest
+
+
+@pytest.mark.parametrize("explicit_f32", [False, True])
+def test_normalize_upcasts_bf16_input_for_f32_model(explicit_f32):
+    """normalize=True on a float (bf16) input under an F32 model — dtype
+    left None OR passed explicitly — runs the normalize math in f32
+    (upcast), matching the host computation on the same quantized pixels
+    exactly; the bf16 dtype is only kept when the model computes in it."""
     from mobilenet_yolo_tpu.train.step import make_loss_fn
 
     cfg = dict(CFG)
     cfg["normalize"] = {"mean": [0.45, 0.5, 0.55], "std": [0.9, 1.0, 1.1]}
-    model = MBv2YOLO(num_classes=4, num_anchors=3, width_mult=0.35)  # f32
+    model = MBv2YOLO(num_classes=4, num_anchors=3, width_mult=0.35,
+                     dtype=jnp.float32 if explicit_f32 else None)
     rng = np.random.default_rng(0)
     raw_bf16 = jnp.asarray(
         rng.integers(0, 255, (2, 96, 96, 3)).astype(np.float32)
