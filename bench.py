@@ -43,6 +43,10 @@ def main():
                         help="dtype of the device-resident input images "
                              "(bf16 skips the on-device f32->bf16 cast "
                              "pass a bf16-serving host can avoid)")
+    parser.add_argument("--prune-yaml", default=None,
+                        help="apply the 'prune:' width plan from a "
+                             "tools/prune.py model yaml to the bench "
+                             "model (speed A/B of a channel-pruned net)")
     args = parser.parse_args()
 
     import jax
@@ -54,7 +58,15 @@ def main():
     from __graft_entry__ import _VOC_MODEL_CFG
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else None
-    model = MBv2YOLO(num_classes=20, num_anchors=3, dtype=dtype)
+    prune_kw = {}
+    if args.prune_yaml:
+        import yaml
+        with open(args.prune_yaml) as f:
+            plan = yaml.safe_load(f).get("prune") or {}
+        hidden = plan.get("backbone_hidden")
+        prune_kw = {"backbone_hidden": tuple(hidden) if hidden else None,
+                    "backbone_head": plan.get("backbone_head")}
+    model = MBv2YOLO(num_classes=20, num_anchors=3, dtype=dtype, **prune_kw)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(

@@ -104,6 +104,11 @@ def get_params(argv=None):
                              "0.999-0.9999 typical); evaluation and "
                              "best-model selection use the averaged "
                              "params (beyond-reference stabilizer)")
+    parser.add_argument("--slim-l1", default=0.0, type=float,
+                        help="Network Slimming L1 penalty on the prunable "
+                             "BatchNorm gammas (prune.py; 1e-4..1e-5 "
+                             "typical) — train with this, then channel-"
+                             "prune with tools/prune.py and fine-tune")
     return parser.parse_args(argv)
 
 
@@ -156,6 +161,8 @@ def main(args, report=None):
         segmentation = cfg.segmentation_enabled
         if args.batch_size:
             model_cfg["batch_size"] = args.batch_size
+    if args.slim_l1:
+        model_cfg["slim_l1"] = args.slim_l1
 
     import jax.numpy as jnp
     mesh = mesh_from_spec(args.mesh, batch_size=model_cfg["batch_size"]

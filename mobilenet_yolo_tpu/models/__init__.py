@@ -29,9 +29,18 @@ def build_model(config: dict, backbone: str = "mbv2", dtype=None):
     num_classes = config["yolo"]["num_classes"]
     num_anchors = config["yolo"]["num_anchors"]
     seg_classes = config.get("seg", {}).get("num_classes", 0)
+    prune_cfg = config.get("prune") or {}
+    if prune_cfg and backbone != "mbv2":
+        raise ValueError("the model yaml's 'prune:' block (channel-pruned "
+                         "widths, prune.py) is only supported for the mbv2 "
+                         f"backbone, got {backbone!r}")
     if backbone == "mbv2":
+        hidden = prune_cfg.get("backbone_hidden")
         return MBv2YOLO(num_classes=num_classes, num_anchors=num_anchors,
-                        seg_num_classes=seg_classes, dtype=dtype)
+                        seg_num_classes=seg_classes,
+                        backbone_hidden=tuple(hidden) if hidden else None,
+                        backbone_head=prune_cfg.get("backbone_head"),
+                        dtype=dtype)
     if backbone == "mbv3":
         return MBv3YOLO(num_classes=num_classes, num_anchors=num_anchors,
                         dtype=dtype)

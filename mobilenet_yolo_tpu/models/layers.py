@@ -94,17 +94,25 @@ class ConvBNAct(nn.Module):
 
 
 class InvertedResidual(nn.Module):
-    """MobileNetV2 inverted-residual bottleneck (mobilenetv2.py:54-91)."""
+    """MobileNetV2 inverted-residual bottleneck (mobilenetv2.py:54-91).
+
+    ``hidden_features`` overrides the expansion width (default
+    ``round(inp * expand_ratio)``) — the seam channel pruning uses to
+    rebuild a slimmed graph (prune.py); only meaningful when
+    ``expand_ratio != 1`` (otherwise there is no expand conv and the
+    hidden width IS the input width).
+    """
 
     features: int
     stride: int
     expand_ratio: int
+    hidden_features: int | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         inp = x.shape[-1]
-        hidden = round(inp * self.expand_ratio)
+        hidden = self.hidden_features or round(inp * self.expand_ratio)
         identity = self.stride == 1 and inp == self.features
 
         y = x

@@ -31,12 +31,18 @@ class MBv2YOLO(nn.Module):
     num_anchors: int = 3
     seg_num_classes: int = 0
     width_mult: float = 1.0
+    # channel-pruned backbone widths (prune.py; model-yaml ``prune:`` block)
+    backbone_hidden: tuple[int | None, ...] | None = None
+    backbone_head: int | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         head_ch = self.num_anchors * (5 + self.num_classes)
-        c4, c5 = MobileNetV2(width_mult=self.width_mult, dtype=self.dtype,
+        c4, c5 = MobileNetV2(width_mult=self.width_mult,
+                             hidden_overrides=self.backbone_hidden,
+                             head_features=self.backbone_head,
+                             dtype=self.dtype,
                              name="backbone")(x, train)
 
         s32 = ConvBNAct(512, 1, dtype=self.dtype, name="conv_for_S32")(c5, train)

@@ -28,8 +28,20 @@ CFGS_STAGE2 = [
 
 
 class MobileNetV2(nn.Module):
+    """``hidden_overrides`` / ``head_features`` carry channel-pruned widths
+    (prune.py): per-block expansion sizes (None entries keep the default
+    ``round(inp * t)``) and the final 1x1 head-conv width (default 1280).
+    """
+
     width_mult: float = 1.0
+    hidden_overrides: tuple[int | None, ...] | None = None
+    head_features: int | None = None
     dtype: jnp.dtype | None = None
+
+    def _hidden(self, idx: int) -> int | None:
+        if self.hidden_overrides is None:
+            return None
+        return self.hidden_overrides[idx]
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -44,6 +56,7 @@ class MobileNetV2(nn.Module):
             out_ch = make_divisible(c * wm, div)
             for i in range(n):
                 x = InvertedResidual(out_ch, s if i == 0 else 1, t,
+                                     hidden_features=self._hidden(idx),
                                      dtype=self.dtype, name=f"block{idx}")(x, train)
                 idx += 1
         c4 = x  # stride 16, 96 ch
@@ -52,9 +65,11 @@ class MobileNetV2(nn.Module):
             out_ch = make_divisible(c * wm, div)
             for i in range(n):
                 x = InvertedResidual(out_ch, s if i == 0 else 1, t,
+                                     hidden_features=self._hidden(idx),
                                      dtype=self.dtype, name=f"block{idx}")(x, train)
                 idx += 1
-        head_ch = make_divisible(1280 * wm, div) if wm > 1.0 else 1280
+        head_ch = self.head_features or (
+            make_divisible(1280 * wm, div) if wm > 1.0 else 1280)
         c5 = ConvBNAct(head_ch, 1, act="relu6", dtype=self.dtype,
                        name="head_conv")(x, train)  # stride 32, 1280 ch
         return c4, c5

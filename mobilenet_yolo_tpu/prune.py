@@ -1,0 +1,183 @@
+"""Structured channel pruning for MobileNetV2-YOLO (Network Slimming).
+
+Implements the reference's unchecked roadmap item (reference README.md:56
+"Under construction: Pruning") the standard way for inverted-residual
+nets — Liu et al. 2017 "Learning Efficient Convolutional Networks through
+Network Slimming": BatchNorm scale factors (gamma) act as per-channel
+gates; train with an L1 penalty on them (``slim_l1`` in the model config /
+``--slim-l1`` on cli/train.py), then remove the channels whose |gamma|
+falls below a global threshold and fine-tune.
+
+What is pruned (each set has exactly ONE producer and in-block consumers,
+so slicing is local and the rest of the graph is untouched):
+
+* the **expansion (hidden) channels** of every inverted-residual block
+  with ``expand_ratio != 1`` — expand-conv output, its BN, the depthwise
+  conv, its BN, and the project-conv input.  These 6x expansions carry
+  most of the backbone's MACs.
+* the **1280-channel head conv** output — its BN and the detector's
+  ``conv_for_S32`` input.
+
+Block *output* channels are NOT pruned: they are coupled across residual
+adds (InvertedResidual identity paths) and the reference's pretrained
+weights; hidden-channel pruning is the standard safe cut for MobileNetV2.
+
+TPU note: kept counts are rounded UP to a multiple of ``round_to``
+(default 8; use 128 to stay lane-aligned) by re-admitting the
+highest-|gamma| pruned channels — XLA pads vector lanes anyway, so odd
+widths waste the cut.
+
+Library API (tools/prune.py is the CLI):
+
+* :func:`prunable_gammas` — {site: |gamma| vector} over the prunable BNs
+* :func:`plan_prune`      — global-threshold keep plan
+* :func:`apply_prune`     — slice params/batch_stats, emit the model-yaml
+                            ``prune:`` block for :func:`models.build_model`
+* :func:`slim_penalty`    — sum |gamma| over prunable BNs (the training
+                            L1 term; wired in train/step.py:make_loss_fn)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+# site name -> path pieces, relative to params["backbone"]
+_HEAD_SITE = "head_conv"
+
+
+def _block_sites(backbone_params: Mapping[str, Any]) -> list[str]:
+    """Block names with an expand conv (prunable hidden channels), in
+    index order (block1, block2, ... — block0 has expand_ratio 1)."""
+    names = [n for n in backbone_params
+             if n.startswith("block") and "expand" in backbone_params[n]]
+    return sorted(names, key=lambda n: int(n[len("block"):]))
+
+
+def prunable_gammas(params: Mapping[str, Any],
+                    include_head: bool = True) -> dict[str, np.ndarray]:
+    """|gamma| per prunable site.
+
+    The gate for a hidden channel is the expand conv's BN scale — the
+    first (and, through the monotone ReLU6 + depthwise chain, dominant)
+    multiplicative factor on everything the channel contributes.
+    """
+    backbone = params["backbone"]
+    gammas = {}
+    for name in _block_sites(backbone):
+        gammas[name] = np.abs(
+            np.asarray(backbone[name]["expand"]["bn"]["scale"]))
+    if include_head and _HEAD_SITE in backbone:
+        gammas[_HEAD_SITE] = np.abs(
+            np.asarray(backbone[_HEAD_SITE]["bn"]["scale"]))
+    return gammas
+
+
+def plan_prune(params: Mapping[str, Any], ratio: float,
+               min_keep: int = 8, round_to: int = 8,
+               include_head: bool = True) -> dict[str, np.ndarray]:
+    """Keep plan: site -> sorted kept-channel indices.
+
+    ``ratio`` is the global fraction of prunable channels to remove; the
+    threshold is the ratio-quantile of ALL prunable |gamma| pooled
+    (Network Slimming's global criterion), then per site the kept count
+    is floored at ``min_keep`` and rounded up to ``round_to`` by
+    re-admitting the largest-|gamma| pruned channels.
+    """
+    if not 0.0 <= ratio < 1.0:
+        raise ValueError(f"prune ratio must be in [0, 1), got {ratio}")
+    gammas = prunable_gammas(params, include_head=include_head)
+    pooled = np.sort(np.concatenate(list(gammas.values())))
+    cut = int(ratio * pooled.size)
+    threshold = -np.inf if cut == 0 else pooled[cut - 1]
+
+    keep: dict[str, np.ndarray] = {}
+    for site, g in gammas.items():
+        n_keep = int(np.sum(g > threshold))
+        n_keep = max(n_keep, min(min_keep, g.size))
+        n_keep = min(-(-n_keep // round_to) * round_to, g.size)
+        # stable top-k by |gamma|: ties broken by channel index
+        order = np.argsort(-g, kind="stable")
+        keep[site] = np.sort(order[:n_keep])
+    return keep
+
+
+def _slice_bn(site_params, site_stats, idx):
+    for k in ("scale", "bias"):
+        site_params["bn"][k] = np.asarray(site_params["bn"][k])[idx]
+    for k in ("mean", "var"):
+        site_stats["bn"][k] = np.asarray(site_stats["bn"][k])[idx]
+
+
+def apply_prune(params, batch_stats, keep: Mapping[str, np.ndarray]
+                ) -> tuple[dict, dict, dict]:
+    """Slice the variable trees along the keep plan.
+
+    Returns ``(params, batch_stats, prune_cfg)`` where ``prune_cfg`` is
+    the model-yaml ``prune:`` block (``backbone_hidden`` per-block widths
+    with None for non-prunable blocks, ``backbone_head``) that
+    :func:`models.build_model` consumes to rebuild the slim graph.
+    """
+    import jax
+    # tree.map rebuilds the dict containers, so in-place edits below are
+    # safe (the caller's tree is untouched)
+    params = jax.tree.map(np.asarray, params)
+    batch_stats = jax.tree.map(np.asarray, batch_stats)
+    backbone_p = params["backbone"]
+    backbone_s = batch_stats["backbone"]
+
+    n_blocks = len([n for n in backbone_p if n.startswith("block")])
+    hidden: list[int | None] = [None] * n_blocks
+
+    for site, idx in keep.items():
+        idx = np.asarray(idx)
+        if site == _HEAD_SITE:
+            hc_p, hc_s = backbone_p[_HEAD_SITE], backbone_s[_HEAD_SITE]
+            hc_p["conv"]["kernel"] = np.asarray(
+                hc_p["conv"]["kernel"])[..., idx]
+            _slice_bn(hc_p, hc_s, idx)
+            # the one consumer: detector conv_for_S32 input channels
+            c32 = params["conv_for_S32"]["conv"]
+            c32["kernel"] = np.asarray(c32["kernel"])[:, :, idx, :]
+            continue
+        bp, bs = backbone_p[site], backbone_s[site]
+        bp["expand"]["conv"]["kernel"] = np.asarray(
+            bp["expand"]["conv"]["kernel"])[..., idx]
+        _slice_bn(bp["expand"], bs["expand"], idx)
+        # depthwise kernel is (k, k, 1, hidden)
+        bp["depthwise"]["conv"]["kernel"] = np.asarray(
+            bp["depthwise"]["conv"]["kernel"])[..., idx]
+        _slice_bn(bp["depthwise"], bs["depthwise"], idx)
+        bp["project"]["conv"]["kernel"] = np.asarray(
+            bp["project"]["conv"]["kernel"])[:, :, idx, :]
+        hidden[int(site[len("block"):])] = int(idx.size)
+
+    prune_cfg: dict[str, Any] = {"backbone_hidden": hidden}
+    if _HEAD_SITE in keep:
+        prune_cfg["backbone_head"] = int(np.asarray(keep[_HEAD_SITE]).size)
+    return params, batch_stats, prune_cfg
+
+
+def slim_penalty(params) -> Any:
+    """Sum of |gamma| over the prunable BNs (jit-traceable).
+
+    The Network Slimming sparsity term: the trainer adds
+    ``config["slim_l1"] * slim_penalty(params)`` to the loss so that
+    gammas of unimportant channels are driven toward zero before pruning.
+    """
+    import jax.numpy as jnp
+    backbone = params["backbone"]
+    total = jnp.asarray(0.0, jnp.float32)
+    for name in _block_sites(backbone):
+        total = total + jnp.sum(
+            jnp.abs(backbone[name]["expand"]["bn"]["scale"]))
+    if _HEAD_SITE in backbone:
+        total = total + jnp.sum(
+            jnp.abs(backbone[_HEAD_SITE]["bn"]["scale"]))
+    return total
+
+
+def param_count(tree) -> int:
+    import jax
+    return sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(tree))

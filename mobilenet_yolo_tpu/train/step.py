@@ -65,6 +65,8 @@ def make_loss_fn(model, config: dict, segmentation: bool = False,
     iou_thresh = float(yolo_cfg["iou_thresh"])
     iou_weighting = float(config.get("iou_weighting", 0.01))
     num_classes = int(yolo_cfg["num_classes"])
+    # Network Slimming sparsity (prune.py): L1 on the prunable BN gammas
+    slim_l1 = float(config.get("slim_l1") or 0.0)
     if normalize:
         norm_cfg = config.get("normalize",
                               {"mean": [0.5] * 3, "std": [1.0] * 3})
@@ -119,6 +121,9 @@ def make_loss_fn(model, config: dict, segmentation: bool = False,
             total = total + sl
             metrics["seg_obj"] = s_obj
             metrics["seg_no_obj"] = s_no_obj
+        if slim_l1 and train:
+            from mobilenet_yolo_tpu.prune import slim_penalty
+            total = total + slim_l1 * slim_penalty(params)
         metrics["loss"] = total
         return total, (new_stats, metrics)
 
