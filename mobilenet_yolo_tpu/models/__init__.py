@@ -29,22 +29,25 @@ def build_model(config: dict, backbone: str = "mbv2", dtype=None):
     num_classes = config["yolo"]["num_classes"]
     num_anchors = config["yolo"]["num_anchors"]
     seg_classes = config.get("seg", {}).get("num_classes", 0)
+    # channel-pruned widths from tools/prune.py (model yaml 'prune:' block)
     prune_cfg = config.get("prune") or {}
-    if prune_cfg and backbone != "mbv2":
-        raise ValueError("the model yaml's 'prune:' block (channel-pruned "
-                         "widths, prune.py) is only supported for the mbv2 "
-                         f"backbone, got {backbone!r}")
+    hidden = prune_cfg.get("backbone_hidden")
+    hidden = tuple(hidden) if hidden else None
+    head = prune_cfg.get("backbone_head")
     if backbone == "mbv2":
-        hidden = prune_cfg.get("backbone_hidden")
         return MBv2YOLO(num_classes=num_classes, num_anchors=num_anchors,
                         seg_num_classes=seg_classes,
-                        backbone_hidden=tuple(hidden) if hidden else None,
-                        backbone_head=prune_cfg.get("backbone_head"),
+                        backbone_hidden=hidden, backbone_head=head,
                         dtype=dtype)
     if backbone == "mbv3":
+        if head is not None:
+            raise ValueError("backbone_head is not prunable for mbv3 — its"
+                             " consumer is a width-coupled depthwise stack"
+                             " (see prune.py)")
         return MBv3YOLO(num_classes=num_classes, num_anchors=num_anchors,
-                        dtype=dtype)
+                        backbone_hidden=hidden, dtype=dtype)
     if backbone == "mbv3_macc":
         return MBv3YOLOMacc(num_classes=num_classes, num_anchors=num_anchors,
+                            backbone_hidden=hidden, backbone_head=head,
                             dtype=dtype)
     raise ValueError(f"unknown backbone {backbone!r}")

@@ -142,7 +142,12 @@ class SEModule(nn.Module):
 class MBv3Block(nn.Module):
     """MobileNetV3 bneck: expand + depthwise + pointwise (+SE) with the
     reference's unusual shortcut: a 1x1 conv-bn shortcut when stride==1 and
-    channels change (mobilenetv3.py:60-73)."""
+    channels change (mobilenetv3.py:60-73).
+
+    ``hidden_features`` overrides the expansion width (channel pruning,
+    prune.py) — the SE module gates the *project* output, so slimming the
+    hidden channels never touches it.
+    """
 
     kernel: int
     expand: int
@@ -150,13 +155,15 @@ class MBv3Block(nn.Module):
     act: str
     use_se: bool
     stride: int
+    hidden_features: int | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         inp = x.shape[-1]
-        y = ConvBNAct(self.expand, 1, act=self.act, dtype=self.dtype, name="expand")(x, train)
-        y = ConvBNAct(self.expand, self.kernel, stride=self.stride, depthwise=True,
+        hidden = self.hidden_features or self.expand
+        y = ConvBNAct(hidden, 1, act=self.act, dtype=self.dtype, name="expand")(x, train)
+        y = ConvBNAct(hidden, self.kernel, stride=self.stride, depthwise=True,
                       act=self.act, dtype=self.dtype, name="depthwise")(y, train)
         y = ConvBNAct(self.features, 1, act="none", dtype=self.dtype, name="project")(y, train)
         if self.use_se:

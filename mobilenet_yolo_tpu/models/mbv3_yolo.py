@@ -28,12 +28,17 @@ from mobilenet_yolo_tpu.models.mobilenetv3 import MobileNetV3Large
 class MBv3YOLO(nn.Module):
     num_classes: int = 20
     num_anchors: int = 3
+    # channel-pruned bneck expansion widths (prune.py); the 960-ch backbone
+    # head is NOT prunable here — its consumer is a width-coupled
+    # DepthwiseConvolution, unlike MBv2's 1x1 conv
+    backbone_hidden: tuple[int | None, ...] | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         head_ch = self.num_anchors * (5 + self.num_classes)
-        c4, c5 = MobileNetV3Large(dtype=self.dtype, name="backbone")(x, train)
+        c4, c5 = MobileNetV3Large(hidden_overrides=self.backbone_hidden,
+                                  dtype=self.dtype, name="backbone")(x, train)
 
         s32 = DepthwiseConvolution(320, dtype=self.dtype, name="conv_for_S32")(c5, train)
         s32 = Connect(320, dtype=self.dtype, name="connect_for_S32")(s32, train)

@@ -25,12 +25,19 @@ from mobilenet_yolo_tpu.models.mobilenetv3 import MobileNetV3Large
 class MBv3YOLOMacc(nn.Module):
     num_classes: int = 20
     num_anchors: int = 3
+    # channel-pruned widths (prune.py); the 960-ch backbone head IS
+    # prunable here (its consumer is a plain 1x1 ConvBNAct, unlike
+    # MBv3YOLO's width-coupled DepthwiseConvolution)
+    backbone_hidden: tuple[int | None, ...] | None = None
+    backbone_head: int | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         head_ch = self.num_anchors * (5 + self.num_classes)
-        c4, c5 = MobileNetV3Large(dtype=self.dtype, name="backbone")(x, train)
+        c4, c5 = MobileNetV3Large(hidden_overrides=self.backbone_hidden,
+                                  head_features=self.backbone_head,
+                                  dtype=self.dtype, name="backbone")(x, train)
 
         s32 = ConvBNAct(512, 1, dtype=self.dtype, name="conv_for_S32")(c5, train)
         s32 = Connect(512, dtype=self.dtype, name="connect_for_S32")(s32, train)

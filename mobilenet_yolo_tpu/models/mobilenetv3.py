@@ -52,7 +52,16 @@ SMALL_STAGE2 = [
 
 
 class MobileNetV3Large(nn.Module):
+    """``hidden_overrides``: channel-pruned expansion widths (prune.py),
+    indexed bneck0..12 then bneck2_0..1 (stage1 order, then stage2)."""
+
+    hidden_overrides: tuple[int | None, ...] | None = None
+    head_features: int | None = None
     dtype: jnp.dtype | None = None
+
+    def _hidden(self, slot: int) -> int | None:
+        return (self.hidden_overrides[slot]
+                if self.hidden_overrides is not None else None)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -60,18 +69,26 @@ class MobileNetV3Large(nn.Module):
                       name="stem")(x, train)
         for i, (k, e, c, act, se, s) in enumerate(LARGE_STAGE1):
             x = MBv3Block(k, e, c, act, se, s, dtype=self.dtype,
+                          hidden_features=self._hidden(i),
                           name=f"bneck{i}")(x, train)
         c4 = x  # stride 16, 160 ch
         for i, (k, e, c, act, se, s) in enumerate(LARGE_STAGE2):
             x = MBv3Block(k, e, c, act, se, s, dtype=self.dtype,
+                          hidden_features=self._hidden(len(LARGE_STAGE1) + i),
                           name=f"bneck2_{i}")(x, train)
-        x = ConvBNAct(960, 1, act="none", dtype=self.dtype, name="head_conv")(x, train)
+        x = ConvBNAct(self.head_features or 960, 1, act="none",
+                      dtype=self.dtype, name="head_conv")(x, train)
         c5 = hswish(x)  # stride 32, 960 ch
         return c4, c5
 
 
 class MobileNetV3Small(nn.Module):
+    hidden_overrides: tuple[int | None, ...] | None = None
     dtype: jnp.dtype | None = None
+
+    def _hidden(self, slot: int) -> int | None:
+        return (self.hidden_overrides[slot]
+                if self.hidden_overrides is not None else None)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -79,10 +96,12 @@ class MobileNetV3Small(nn.Module):
                       name="stem")(x, train)
         for i, (k, e, c, act, se, s) in enumerate(SMALL_STAGE1):
             x = MBv3Block(k, e, c, act, se, s, dtype=self.dtype,
+                          hidden_features=self._hidden(i),
                           name=f"bneck{i}")(x, train)
         c4 = x  # stride 16, 48 ch
         for i, (k, e, c, act, se, s) in enumerate(SMALL_STAGE2):
             x = MBv3Block(k, e, c, act, se, s, dtype=self.dtype,
+                          hidden_features=self._hidden(len(SMALL_STAGE1) + i),
                           name=f"bneck2_{i}")(x, train)
         x = ConvBNAct(576, 1, act="none", dtype=self.dtype, name="head_conv")(x, train)
         c5 = hswish(x)  # stride 32, 576 ch

@@ -1,4 +1,4 @@
-"""Structured channel pruning for MobileNetV2-YOLO (Network Slimming).
+"""Structured channel pruning (Network Slimming) for the YOLO models.
 
 Implements the reference's unchecked roadmap item (reference README.md:56
 "Under construction: Pruning") the standard way for inverted-residual
@@ -11,16 +11,21 @@ falls below a global threshold and fine-tune.
 What is pruned (each set has exactly ONE producer and in-block consumers,
 so slicing is local and the rest of the graph is untouched):
 
-* the **expansion (hidden) channels** of every inverted-residual block
-  with ``expand_ratio != 1`` — expand-conv output, its BN, the depthwise
-  conv, its BN, and the project-conv input.  These 6x expansions carry
-  most of the backbone's MACs.
-* the **1280-channel head conv** output — its BN and the detector's
-  ``conv_for_S32`` input.
+* the **expansion (hidden) channels** of every backbone block with an
+  expand conv — MBv2 InvertedResidual (``expand_ratio != 1``) and MBv3
+  bneck alike: expand-conv output, its BN, the depthwise conv, its BN,
+  and the project-conv input.  These expansions carry most of the
+  backbone's MACs.  (MBv3's SE module gates the *project* output, so it
+  is untouched by a hidden-channel cut.)
+* the **backbone head-conv output** (1280 ch on MBv2, 960 on MBv3-MACC)
+  — its BN and the detector's ``conv_for_S32`` input — but ONLY when
+  that consumer is a plain 1x1 ConvBNAct.  MBv3YOLO's consumer is a
+  DepthwiseConvolution whose internal widths are input-coupled, so the
+  head stays unpruned there (detected structurally, never by name).
 
 Block *output* channels are NOT pruned: they are coupled across residual
-adds (InvertedResidual identity paths) and the reference's pretrained
-weights; hidden-channel pruning is the standard safe cut for MobileNetV2.
+adds and the pretrained weights; hidden-channel pruning is the standard
+safe cut for MobileNets.
 
 TPU note: kept counts are rounded UP to a multiple of ``round_to``
 (default 8; use 128 to stay lane-aligned) by re-admitting the
@@ -43,16 +48,34 @@ from typing import Any, Mapping
 
 import numpy as np
 
-# site name -> path pieces, relative to params["backbone"]
 _HEAD_SITE = "head_conv"
 
 
 def _block_sites(backbone_params: Mapping[str, Any]) -> list[str]:
-    """Block names with an expand conv (prunable hidden channels), in
-    index order (block1, block2, ... — block0 has expand_ratio 1)."""
+    """Backbone blocks with an expand conv (prunable hidden channels), in
+    definition order: MBv2 ``block{i}`` (block0 has expand_ratio 1, no
+    expand conv — skipped automatically), MBv3 ``bneck{i}`` then
+    ``bneck2_{i}``."""
+
+    def order(name: str) -> tuple[int, int]:
+        for prefix, stage in (("bneck2_", 1), ("bneck", 0), ("block", 0)):
+            if name.startswith(prefix):
+                return (stage, int(name[len(prefix):]))
+        raise KeyError(name)
+
     names = [n for n in backbone_params
-             if n.startswith("block") and "expand" in backbone_params[n]]
-    return sorted(names, key=lambda n: int(n[len("block"):]))
+             if n.startswith(("block", "bneck"))
+             and "expand" in backbone_params[n]]
+    return sorted(names, key=order)
+
+
+def _head_prunable(params: Mapping[str, Any]) -> bool:
+    """The backbone head conv is prunable only when its consumer is a
+    plain 1x1 ConvBNAct (MBv2YOLO / MBv3YOLOMacc ``conv_for_S32``) whose
+    input slice is trivial — not MBv3YOLO's width-coupled
+    DepthwiseConvolution."""
+    return (_HEAD_SITE in params.get("backbone", {})
+            and "conv" in params.get("conv_for_S32", {}))
 
 
 def prunable_gammas(params: Mapping[str, Any],
@@ -60,15 +83,15 @@ def prunable_gammas(params: Mapping[str, Any],
     """|gamma| per prunable site.
 
     The gate for a hidden channel is the expand conv's BN scale — the
-    first (and, through the monotone ReLU6 + depthwise chain, dominant)
-    multiplicative factor on everything the channel contributes.
+    first (and, through the monotone activation + depthwise chain,
+    dominant) multiplicative factor on everything the channel contributes.
     """
     backbone = params["backbone"]
     gammas = {}
     for name in _block_sites(backbone):
         gammas[name] = np.abs(
             np.asarray(backbone[name]["expand"]["bn"]["scale"]))
-    if include_head and _HEAD_SITE in backbone:
+    if include_head and _head_prunable(params):
         gammas[_HEAD_SITE] = np.abs(
             np.asarray(backbone[_HEAD_SITE]["bn"]["scale"]))
     return gammas
@@ -110,6 +133,18 @@ def _slice_bn(site_params, site_stats, idx):
         site_stats["bn"][k] = np.asarray(site_stats["bn"][k])[idx]
 
 
+def _hidden_slot(site: str, backbone_params: Mapping[str, Any]) -> int:
+    """Index of ``site`` in the model's ``backbone_hidden`` tuple."""
+    if site.startswith("block"):          # MBv2: slot == block index
+        return int(site[len("block"):])
+    if site.startswith("bneck2_"):        # MBv3 stage2 after stage1
+        n_stage1 = len([n for n in backbone_params
+                        if n.startswith("bneck")
+                        and not n.startswith("bneck2_")])
+        return n_stage1 + int(site[len("bneck2_"):])
+    return int(site[len("bneck"):])
+
+
 def apply_prune(params, batch_stats, keep: Mapping[str, np.ndarray]
                 ) -> tuple[dict, dict, dict]:
     """Slice the variable trees along the keep plan.
@@ -127,12 +162,16 @@ def apply_prune(params, batch_stats, keep: Mapping[str, np.ndarray]
     backbone_p = params["backbone"]
     backbone_s = batch_stats["backbone"]
 
-    n_blocks = len([n for n in backbone_p if n.startswith("block")])
+    n_blocks = len([n for n in backbone_p if n.startswith(("block", "bneck"))])
     hidden: list[int | None] = [None] * n_blocks
 
     for site, idx in keep.items():
         idx = np.asarray(idx)
         if site == _HEAD_SITE:
+            if not _head_prunable(params):
+                raise ValueError(
+                    "head_conv is not prunable for this graph (its "
+                    "consumer is not a plain 1x1 conv)")
             hc_p, hc_s = backbone_p[_HEAD_SITE], backbone_s[_HEAD_SITE]
             hc_p["conv"]["kernel"] = np.asarray(
                 hc_p["conv"]["kernel"])[..., idx]
@@ -151,7 +190,7 @@ def apply_prune(params, batch_stats, keep: Mapping[str, np.ndarray]
         _slice_bn(bp["depthwise"], bs["depthwise"], idx)
         bp["project"]["conv"]["kernel"] = np.asarray(
             bp["project"]["conv"]["kernel"])[:, :, idx, :]
-        hidden[int(site[len("block"):])] = int(idx.size)
+        hidden[_hidden_slot(site, backbone_p)] = int(idx.size)
 
     prune_cfg: dict[str, Any] = {"backbone_hidden": hidden}
     if _HEAD_SITE in keep:
@@ -172,7 +211,7 @@ def slim_penalty(params) -> Any:
     for name in _block_sites(backbone):
         total = total + jnp.sum(
             jnp.abs(backbone[name]["expand"]["bn"]["scale"]))
-    if _HEAD_SITE in backbone:
+    if _head_prunable(params):
         total = total + jnp.sum(
             jnp.abs(backbone[_HEAD_SITE]["bn"]["scale"]))
     return total

@@ -205,3 +205,66 @@ def test_prune_cli_roundtrip(tmp_path, variables):
         prune_main(["--model-yaml", str(out / "model.yaml"),
                         "-c", str(out / "params.npz"),
                         "--ratio", "0.3", "--out", str(tmp_path / "p2")])
+
+
+def test_mbv3_dead_channel_prune_is_exact():
+    """MBv3: bneck hidden channels prunable; the 960-ch head is NOT (its
+    consumer is a width-coupled DepthwiseConvolution) — structural
+    detection, and the slim graph matches the parent on dead channels."""
+    model = build_model(MODEL_CFG, "mbv3")
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x0,
+                                           train=False))()
+    params = jax.tree.map(lambda a: np.array(a), variables["params"])
+    stats = jax.tree.map(lambda a: np.array(a), variables["batch_stats"])
+
+    gammas = prunable_gammas(params)
+    assert "head_conv" not in gammas          # structurally excluded
+    assert "bneck0" in gammas and "bneck2_1" in gammas
+
+    rng = np.random.default_rng(2)
+    keep = {}
+    for site in ("bneck3", "bneck7", "bneck2_0"):
+        g = gammas[site]
+        victims = rng.choice(g.size, size=g.size // 4, replace=False)
+        keep[site] = np.setdiff1d(np.arange(g.size), victims)
+        for stage in ("expand", "depthwise"):
+            bn = params["backbone"][site][stage]["bn"]
+            bn["scale"][victims] = 0.0
+            bn["bias"][victims] = 0.0
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    ref = model.apply({"params": params, "batch_stats": stats}, x,
+                      train=False)
+    new_params, new_stats, prune_cfg = apply_prune(params, stats, keep)
+    assert "backbone_head" not in prune_cfg
+    pruned_model = build_model(dict(MODEL_CFG, prune=prune_cfg), "mbv3")
+    out = pruned_model.apply({"params": new_params,
+                              "batch_stats": new_stats}, x, train=False)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_mbv3_macc_head_is_prunable():
+    """MBv3-MACC's conv_for_S32 is a plain 1x1 conv, so its 960-ch
+    backbone head IS prunable — and the slim graph rebuilds."""
+    model = build_model(MODEL_CFG, "mbv3_macc")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x,
+                                           train=False))()
+    params, stats = variables["params"], variables["batch_stats"]
+    gammas = prunable_gammas(params)
+    assert "head_conv" in gammas
+
+    keep = plan_prune(params, ratio=0.3)
+    new_params, new_stats, prune_cfg = apply_prune(params, stats, keep)
+    assert prune_cfg["backbone_head"] < 960
+    pruned = build_model(dict(MODEL_CFG, prune=prune_cfg), "mbv3_macc")
+    out = pruned.apply({"params": new_params, "batch_stats": new_stats},
+                       x, train=False)
+    assert out["out0"].shape == (1, 2, 2, 27)
+
+    # mbv3 (non-macc) rejects a backbone_head override outright
+    with pytest.raises(ValueError, match="not prunable"):
+        build_model(dict(MODEL_CFG, prune={"backbone_head": 800}), "mbv3")

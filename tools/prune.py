@@ -29,13 +29,15 @@ import os
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser(description="MBv2-YOLO channel pruning")
+    parser = argparse.ArgumentParser(description="YOLO channel pruning (Network Slimming)")
     parser.add_argument("-y", "--data_yaml", dest="data_yaml", default=None)
     parser.add_argument("--model-yaml", default=None,
                         help="model config path (alternative to -y when "
                              "there is no data yaml, e.g. synthetic runs)")
     parser.add_argument("-c", "--checkpoint", required=True,
                         help="orbax checkpoint dir or params .npz")
+    parser.add_argument("--backbone", default="mbv2",
+                        choices=["mbv2", "mbv3", "mbv3_macc"])
     parser.add_argument("--ratio", default=0.3, type=float,
                         help="global fraction of prunable channels to cut")
     parser.add_argument("--min-keep", default=8, type=int)
@@ -74,7 +76,7 @@ def main(argv=None):
                          "block — iterative pruning of an already-pruned "
                          "model is not supported (re-prune the original)")
 
-    model = build_model(model_cfg, "mbv2")
+    model = build_model(model_cfg, args.backbone)
     size = int(model_cfg["img_w"])
     x = jnp.zeros((1, size, size, 3), jnp.float32)
     variables = load_variables(model, args.checkpoint, x)
@@ -100,7 +102,7 @@ def main(argv=None):
     # sanity: the slim graph must init to exactly the sliced shapes
     pruned_cfg = copy.deepcopy(model_cfg)
     pruned_cfg["prune"] = prune_cfg
-    pruned_model = build_model(pruned_cfg, "mbv2")
+    pruned_model = build_model(pruned_cfg, args.backbone)
     shapes = jax.eval_shape(
         lambda: pruned_model.init(jax.random.PRNGKey(0), x, train=False))
     expect, treedef_e = jax.tree_util.tree_flatten_with_path(shapes["params"])
