@@ -5,7 +5,9 @@ in images/sec on one chip and prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}``.
 
 Methodology: each iteration's input carries a data dependency on the
-previous iteration's detections (``x * (1 + 0*dets[0,0,4])``), so device
+previous iteration's detections (``x + (0.0 * dets[0,0,4]).astype(x.dtype)``
+— additive and dtype-preserving so it works for the uint8 input mode), so
+device
 executions serialize and a single scalar fetch at the end bounds the whole
 chain — immune to async-dispatch undercounting (``block_until_ready`` can
 return early under remote-execution relays). The tiny dependency op adds

@@ -195,7 +195,10 @@ def save_int8(path: str, variables: Mapping, qkernels, wscales,
         flat[f"wq/{site}"] = q
         flat[f"ws/{site}"] = wscales[site]
     for site, s in act_scales.items():
-        flat[f"act/{site}"] = np.float32(s)
+        # Full float64 precision: the calibration scales are Python floats
+        # (max|x|/127 computed in f64) and load_int8 must round-trip them
+        # bit-exactly so the loaded QuantSim graph reproduces the saved one.
+        flat[f"act/{site}"] = np.float64(s)
     # float remainder: the full tree with quantized kernels zeroed out is
     # redundant — instead store the tree with kernels REPLACED by their
     # dequantized values omitted; simplest faithful form: store everything
