@@ -78,6 +78,17 @@ def get_params(argv=None):
                              " multi-host pod jax.distributed initializes"
                              " automatically and each host feeds its slice"
                              " of the global batch")
+    parser.add_argument("--coordinator", default=None, type=str,
+                        help="multi-process coordinator address host:port"
+                             " (jax.distributed). TPU pods auto-detect and"
+                             " don't need it; set all three --coordinator/"
+                             "--num-processes/--process-id for explicit"
+                             " launches (e.g. multi-process CPU testing,"
+                             " tests/test_multiprocess.py)")
+    parser.add_argument("--num-processes", default=None, type=int,
+                        help="total process count for jax.distributed")
+    parser.add_argument("--process-id", default=None, type=int,
+                        help="this process's rank for jax.distributed")
     parser.add_argument("-j", "--num-workers", default=0, type=int,
                         help="input-pipeline worker processes (the"
                              " reference's DataLoader num_workers=4,"
@@ -122,15 +133,19 @@ def main(args, report=None):
     from mobilenet_yolo_tpu.config import load_config
     from mobilenet_yolo_tpu.models import build_model
     from mobilenet_yolo_tpu.parallel import (initialize_distributed,
-                                             mesh_from_spec)
+                                             mesh_from_spec,
+                                             warmup_collectives)
     from mobilenet_yolo_tpu.train.hpo import make_report_hook
     from mobilenet_yolo_tpu.train.loop import Trainer, TrainerConfig
 
     # multi-host pods: wire DCN before the first jax.devices() call (a
-    # no-op on a single host; docs/TRAINING.md §5 has the pod runbook)
-    if initialize_distributed():
+    # no-op on a single host without explicit coordinates;
+    # docs/TRAINING.md §5 has the pod runbook)
+    if initialize_distributed(coordinator=args.coordinator,
+                              num_processes=args.num_processes,
+                              process_id=args.process_id):
         print(f"jax.distributed: process {jax.process_index()} of "
-              f"{jax.process_count()}")
+              f"{jax.process_count()}", flush=True)
 
     overrides = {k: getattr(args, k) for k in (
         "ignore_thresh_1", "ignore_thresh_2", "iou_thresh", "expand_scale",
@@ -169,6 +184,10 @@ def main(args, report=None):
                           if "batch_size" in model_cfg else None)
     if mesh is not None:
         print(f"device mesh: {dict(mesh.shape)}")
+        # multi-host: create the cross-process communicator while all
+        # processes are still in lockstep (parallel/mesh.py explains the
+        # CPU-backend context deadline); no-op single-process
+        warmup_collectives(mesh)
     model = build_model(model_cfg, args.backbone,
                         dtype=jnp.bfloat16 if args.bf16 else None)
     tcfg = TrainerConfig(
@@ -221,17 +240,35 @@ def main(args, report=None):
         from mobilenet_yolo_tpu.data.synthetic import synthetic_batches
         bs = model_cfg["batch_size"]
         epoch_counter = {"n": 0}
+        # synthetic batches are deterministic in the seed, so every process
+        # of a multi-host run generates the identical GLOBAL batch; the
+        # TRAIN loader slices this host's rows (shard_batch assembles the
+        # global array from per-process slices) while the EVAL loader keeps
+        # the host-complete batch (evaluate_detection feeds it through
+        # global_batch — each host's devices pull just their rows)
+        p_idx, n_proc = jax.process_index(), jax.process_count()
+        if n_proc > 1 and bs % n_proc:
+            raise ValueError(f"--batch-size {bs} not divisible by "
+                             f"{n_proc} processes")
+
+        def _synthetic_epoch(seed):
+            return synthetic_batches(args.steps_per_epoch, bs,
+                                     args.img_size,
+                                     model_cfg["yolo"]["num_classes"],
+                                     seed=seed)
 
         def train_loader():
             epoch_counter["n"] += 1  # fresh draws every epoch
-            for images, gt, n_gt in synthetic_batches(
-                    args.steps_per_epoch, bs, args.img_size,
-                    model_cfg["yolo"]["num_classes"],
-                    seed=epoch_counter["n"] % 4):
+            local = bs // n_proc
+            rows = slice(p_idx * local, (p_idx + 1) * local)
+            for images, gt, n_gt in _synthetic_epoch(epoch_counter["n"] % 4):
+                yield {"images": images[rows], "gt": gt[rows],
+                       "n_gt": n_gt[rows], "count": local}
+
+        def eval_loader():
+            for images, gt, n_gt in _synthetic_epoch(epoch_counter["n"] % 4):
                 yield {"images": images, "gt": gt, "n_gt": n_gt,
                        "count": bs}
-
-        eval_loader = train_loader
     else:
         import yaml
         with open(args.data_yaml) as f:
@@ -272,10 +309,12 @@ def main(args, report=None):
             output_uint8=device_normalize,
             device_geometry=device_geometry,
             stage_size=args.stage_size, **loader_kw)
-        # shard_by_process=False: under multi-host every host evaluates
-        # the FULL test set, so metrics — and the val_conf controller fed
-        # by them — stay identical on every host (lockstep); the
-        # mesh-sharded eval speedup applies in single-host multi-chip runs
+        # shard_by_process=False: the eval loader yields IDENTICAL
+        # host-complete batches on every host (shuffle=False) — required
+        # by the multi-host eval contract (evaluate_detection feeds them
+        # through global_batch so each host's devices pull just their
+        # rows): device work is 1x pod-wide and metrics — and the
+        # val_conf controller fed by them — stay identical on every host
         eval_loader_obj = Loader(test_ds, bs,
                                  [[model_cfg["img_w"], model_cfg["img_h"]]],
                                  norm["mean"], norm["std"], shuffle=False,

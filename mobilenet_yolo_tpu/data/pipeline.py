@@ -432,7 +432,10 @@ class Loader:
         sharded across hosts, so every host takes its contiguous slice of
         the groups of the SAME plan entry — step counts and per-step
         (H, W) sizes agree by construction. Training only; evaluation
-        loaders read the full set on every host (metrics are host-local).
+        loaders read the full set on every host — the mesh predict then
+        splits each host-complete batch over ALL devices pod-wide
+        (parallel/mesh.py:global_batch), so eval device work is 1x while
+        every host sees identical metrics.
         """
         rng = np.random.default_rng(self.seed + self.epoch)
         plan = self._epoch_plan(rng)

@@ -56,10 +56,13 @@ def make_predict_fn(
     masks = [np.asarray(m) for m in yolo_cfg["mask"]]
     num_anchors = int(yolo_cfg["num_anchors"])
     if use_pallas_nms is None:
-        # A/B on v5e (batch 128, K=256): the vmapped XLA scan wins (19.8ms
-        # vs 28.4ms full-pipeline) because it vectorizes the scan across
-        # the whole batch while the per-image Pallas grid serializes; keep
-        # XLA as the default until the batched-kernel variant lands
+        # FINAL: the vmapped XLA scan is the NMS implementation. A/B on
+        # v5e (batch 128, K=256): XLA wins 19.8 vs 28.4 ms full-pipeline
+        # (the per-image Pallas grid serializes what the scan vectorizes
+        # across the batch), and the fused forward+decode+NMS program
+        # times the SAME as the forward alone — the suppression scan
+        # hides under the conv pipeline, so a batched kernel has zero
+        # end-to-end headroom to win (PERF.md "What was tried").
         use_pallas_nms = False
 
     if normalize:
@@ -89,10 +92,16 @@ def make_predict_fn(
             return dets, keep, jax.nn.sigmoid(outputs["seg"])
         return dets, keep
 
-    if mesh is not None and mesh.shape.get("model", 1) == 1:
+    if mesh is not None:
         from mobilenet_yolo_tpu.parallel.mesh import (batch_sharding,
                                                       replicated)
         repl = replicated(mesh)
+        if mesh.shape.get("model", 1) > 1:
+            # tensor-parallel mesh: the variables carry their own (model-
+            # axis) placements which must propagate, so only the OUTPUTS
+            # are pinned replicated — that makes dets/keep readable on
+            # every process of a multi-host run (train/loop.py:evaluate)
+            return jax.jit(predict, out_shardings=repl)
         return jax.jit(predict,
                        in_shardings=(repl, batch_sharding(mesh), repl),
                        out_shardings=repl)

@@ -81,15 +81,17 @@ class Evaluator:
             self.classes_name,
         )
 
-    def compute_coco(self, max_dets: int = 100) -> dict:
-        """COCO metric family (AP@[.5:.95]/AP50/AP75) over the same
-        accumulated detections — beyond-reference protocol, ops/coco_ap.py
-        (the difficult flag maps to COCO's ignore)."""
+    def compute_coco(self, max_dets: int = 100, img_size=None) -> dict:
+        """COCO metric family (AP@[.5:.95]/AP50/AP75 + area-range APs)
+        over the same accumulated detections — beyond-reference protocol,
+        ops/coco_ap.py (the difficult flag maps to COCO's ignore).
+        ``img_size`` = (w, h) evaluation resolution, the pixel frame for
+        APsmall/medium/large (skipped as -1.0 when None)."""
         from mobilenet_yolo_tpu.ops.coco_ap import calculate_coco_map
         return calculate_coco_map(
             self.det_boxes, self.det_labels, self.det_scores,
             self.true_boxes, self.true_labels, self.true_difficulties,
-            self.classes_name, max_dets=max_dets,
+            self.classes_name, max_dets=max_dets, img_size=img_size,
         )
 
     def adjusted_conf(self, conf: float) -> float:
@@ -106,6 +108,7 @@ def evaluate_detection(
     batch_size: int | None = None,
     log: Callable[[str], None] | None = None,
     coco_ap: bool = False,
+    mesh=None,
 ) -> dict:
     """The ONE evaluation driver behind both ``Trainer.evaluate`` and the
     standalone ``cli/eval.py`` (so the VOC protocol cannot drift between
@@ -117,6 +120,14 @@ def evaluate_detection(
     * ``loader`` yields Loader-style dicts; every batch is padded up to the
       largest size seen so far, rounded to ``pad_multiple`` (the mesh's
       ``data`` axis under a sharded predict) so XLA compiles once.
+    * ``mesh``: place each padded batch explicitly onto the mesh via
+      ``parallel.mesh.global_batch``. Required under multi-host (the
+      loader yields the same host-complete batch on every process —
+      shuffle=False — and each host's devices pull just their rows, so
+      the forward costs 1x device time pod-wide while the replicated
+      detections keep every host's metrics and val_conf in lockstep);
+      a single-host mesh works with or without it (the sharded predict
+      carries its own in_shardings).
     * returns ``{"mAP", "aps", "new_conf", "seg_miou", "tp", "fp"}``
       (seg_miou None without a seg head/maps).
     """
@@ -125,15 +136,25 @@ def evaluate_detection(
 
     ev = Evaluator(classes_name)
     seg_acc = None
-    vc = jnp.asarray(val_conf)
+    if mesh is not None:
+        # a plain jnp scalar is committed to the local default device; the
+        # mesh predict's other inputs are pod-global arrays, so place the
+        # gate on the mesh too (replicated) to keep one consistent device set
+        from mobilenet_yolo_tpu.parallel.mesh import global_batch
+        vc = global_batch(mesh, np.float32(val_conf))
+    else:
+        vc = jnp.asarray(val_conf)
 
     def round_up(n: int) -> int:
         return -(-n // pad_multiple) * pad_multiple
 
     if batch_size is not None:
         batch_size = round_up(batch_size)
+    eval_wh = None  # (w, h) pixel frame for the COCO area-range APs
     for batch in loader:
         images = jnp.asarray(batch["images"])
+        if eval_wh is None:
+            eval_wh = (images.shape[2], images.shape[1])
         n = images.shape[0]
         batch_size = (round_up(n) if batch_size is None
                       else max(batch_size, round_up(n)))
@@ -141,6 +162,9 @@ def evaluate_detection(
             images = jnp.concatenate(
                 [images, jnp.zeros((batch_size - n,) + images.shape[1:],
                                    images.dtype)])
+        if mesh is not None:
+            from mobilenet_yolo_tpu.parallel.mesh import global_batch
+            images = global_batch(mesh, images)
         out = predict_fn(variables, images, vc)
         dets, keep = out[0][:n], out[1][:n]
         ev.add_batch(dets, keep, batch["gt"], batch["n_gt"],
@@ -161,11 +185,12 @@ def evaluate_detection(
     res = {"mAP": mAP, "aps": aps, "new_conf": new_conf,
            "seg_miou": seg_miou, "tp": tp, "fp": fp}
     if coco_ap:
-        res["coco"] = ev.compute_coco()
+        res["coco"] = ev.compute_coco(img_size=eval_wh)
         if log:
             c = res["coco"]
             log(f"  COCO AP {c['AP']:.4f} AP50 {c['AP50']:.4f} "
-                f"AP75 {c['AP75']:.4f}")
+                f"AP75 {c['AP75']:.4f} APs {c['APsmall']:.4f} "
+                f"APm {c['APmedium']:.4f} APl {c['APlarge']:.4f}")
     return res
 
 

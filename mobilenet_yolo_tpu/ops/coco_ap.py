@@ -14,8 +14,16 @@ accumulate), over the same per-image-list input contract as
   detection from scoring entirely, like an iscrowd match)
 * precision envelope (monotone non-increasing) before interpolation;
   classes with no ground truth are skipped, not scored 0
-* maxDets=100 per image (COCO default); area ranges are not implemented
-  (VOC has no area protocol) — all boxes are "all"-area.
+* maxDets=100 per image (COCO default)
+* area ranges (APsmall/APmedium/APlarge) with pycocotools' exact
+  semantics: out-of-range GT is ignored (a match to it unscores the
+  detection), unmatched out-of-range detections are unscored, and the
+  recall denominator counts only in-range non-difficult GT. Boxes are
+  normalized, so areas are computed at the evaluation resolution via
+  ``img_size`` (COCO proper uses original-image pixel areas; here every
+  eval image is the config's fixed img_w x img_h, so the network-input
+  resolution IS the natural pixel frame). Ranges with no ground truth
+  report -1.0, pycocotools' convention.
 
 Pure numpy, host-side, same as ops/ap.py.
 """
@@ -28,14 +36,41 @@ from mobilenet_yolo_tpu.ops.ap import _pairwise_iou_np
 
 IOU_THRESHS = np.arange(0.5, 1.0, 0.05)          # 10 values, 0.50..0.95
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
+# pycocotools areaRng (pixel^2): all / small / medium / large
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
 
 
-def _match_image_class(det_box, det_score, true_box, true_ignore):
+def _box_areas(boxes: np.ndarray, img_size) -> np.ndarray:
+    """Pixel areas of normalized corner boxes at ``img_size`` = (w, h)."""
+    if boxes.shape[0] == 0:
+        return np.zeros(0, np.float64)
+    w, h = img_size
+    return ((boxes[:, 2] - boxes[:, 0]) * w
+            * (boxes[:, 3] - boxes[:, 1]) * h).astype(np.float64)
+
+
+def _match_image_class(det_box, det_score, true_box, true_ignore,
+                       det_out_rng=None):
     """pycocotools evaluateImg for one (image, class): returns
-    (scores, tp[T, D], ignored[T, D]) with detections sorted by score."""
+    (scores, tp[T, D], ignored[T, D]) with detections sorted by score.
+
+    ``true_ignore`` already folds in out-of-area-range GT (cocoeval.py
+    ``gtIg = _ignore or out-of-aRng``); ``det_out_rng`` marks detections
+    whose own area falls outside the range — when such a detection stays
+    UNMATCHED it is unscored rather than counted as a false positive
+    (cocoeval.py's final ``dtIg`` line)."""
     order = np.argsort(-det_score, kind="stable")
     det_box = det_box[order]
     det_score = det_score[order]
+    if det_out_rng is None:
+        det_out_rng = np.zeros(det_box.shape[0], bool)
+    else:
+        det_out_rng = det_out_rng[order]
     n_det, n_gt = det_box.shape[0], true_box.shape[0]
     T = len(IOU_THRESHS)
     tp = np.zeros((T, n_det), bool)
@@ -64,10 +99,12 @@ def _match_image_class(det_box, det_score, true_box, true_ignore):
                 best_iou = ious[d, g]
                 best = g
             if best == -1:
+                # unmatched + outside the area range: unscored
+                det_ig[ti, d] = det_out_rng[d]
                 continue
             matched[best] = True
             if true_ignore[best]:
-                det_ig[ti, d] = True     # matched a difficult GT: unscored
+                det_ig[ti, d] = True     # matched an ignored GT: unscored
             else:
                 tp[ti, d] = True
     return det_score, tp, det_ig
@@ -75,7 +112,7 @@ def _match_image_class(det_box, det_score, true_box, true_ignore):
 
 def _class_precision_recall(c, true_labels, det_labels, true_boxes,
                             true_difficulties, det_boxes, det_scores,
-                            max_dets: int):
+                            max_dets: int, area_rng=None, img_size=None):
     scores, tps, igs = [], [], []
     n_gt_total = 0
     for tl, dl, tb, td, db, ds in zip(true_labels, det_labels, true_boxes,
@@ -87,12 +124,21 @@ def _class_precision_recall(c, true_labels, det_labels, true_boxes,
         if dbox.shape[0] > max_dets:           # per-image COCO cap,
             keep = np.argsort(-dsc, kind="stable")[:max_dets]  # by score
             dbox, dsc = dbox[keep], dsc[keep]
+        gt_ignore = (td[tmask] != 0)
+        det_out_rng = None
+        if area_rng is not None:
+            lo, hi = area_rng
+            g_area = _box_areas(tb[tmask], img_size)
+            gt_ignore = gt_ignore | (g_area < lo) | (g_area > hi)
+            d_area = _box_areas(dbox, img_size)
+            det_out_rng = (d_area < lo) | (d_area > hi)
         s, tp, ig = _match_image_class(dbox, dsc, tb[tmask],
-                                       td[tmask])
+                                       gt_ignore.astype(np.float32),
+                                       det_out_rng=det_out_rng)
         scores.append(s)
         tps.append(tp)
         igs.append(ig)
-        n_gt_total += int((td[tmask] == 0).sum())
+        n_gt_total += int((~gt_ignore).sum())
     if n_gt_total == 0:
         return None                            # class absent: skipped
     sc = np.concatenate(scores) if scores else np.zeros(0, np.float32)
@@ -123,13 +169,20 @@ def _class_precision_recall(c, true_labels, det_labels, true_boxes,
 
 def calculate_coco_map(det_boxes, det_labels, det_scores, true_boxes,
                        true_labels, true_difficulties, classes_name,
-                       max_dets: int = 100) -> dict:
+                       max_dets: int = 100, img_size=None) -> dict:
     """COCO metric family over the ops/ap.py input contract.
 
     Returns ``{"AP": mean over classes & IoU 0.5:0.95, "AP50": ...,
-    "AP75": ..., "per_class": {name: AP}}``. ``true_difficulties`` maps
-    to the COCO ignore flag; classes with no non-difficult ground truth
-    are skipped (pycocotools' -1 convention).
+    "AP75": ..., "APsmall": ..., "APmedium": ..., "APlarge": ...,
+    "per_class": {name: AP}}``. ``true_difficulties`` maps to the COCO
+    ignore flag; classes with no non-difficult ground truth are skipped
+    (pycocotools' -1 convention), and an area range with no ground truth
+    at all reports -1.0.
+
+    ``img_size`` = (w, h) pixel frame for the area ranges (boxes are
+    normalized); pass the evaluation resolution. With ``img_size=None``
+    the area-range APs are skipped (reported -1.0) — the "all" metrics
+    need no pixel frame.
     """
     assert len(det_boxes) == len(det_labels) == len(det_scores) \
         == len(true_boxes) == len(true_labels) == len(true_difficulties)
@@ -143,12 +196,23 @@ def calculate_coco_map(det_boxes, det_labels, det_scores, true_boxes,
             continue
         per_class[classes_name[c]] = float(ap.mean())
         ap_stack.append(ap)
-    if not ap_stack:
-        return {"AP": 0.0, "AP50": 0.0, "AP75": 0.0, "per_class": {}}
-    ap_stack = np.stack(ap_stack)              # (C, T)
-    return {
-        "AP": float(ap_stack.mean()),
-        "AP50": float(ap_stack[:, 0].mean()),
-        "AP75": float(ap_stack[:, 5].mean()),
-        "per_class": per_class,
-    }
+    res = {"AP": 0.0, "AP50": 0.0, "AP75": 0.0, "per_class": per_class,
+           "APsmall": -1.0, "APmedium": -1.0, "APlarge": -1.0}
+    if ap_stack:
+        stacked = np.stack(ap_stack)           # (C, T)
+        res.update(AP=float(stacked.mean()),
+                   AP50=float(stacked[:, 0].mean()),
+                   AP75=float(stacked[:, 5].mean()))
+    if img_size is None:
+        return res
+    for name in ("small", "medium", "large"):
+        stack = []
+        for c in range(1, len(classes_name)):
+            ap = _class_precision_recall(
+                c, true_labels, det_labels, true_boxes, true_difficulties,
+                det_boxes, det_scores, max_dets,
+                area_rng=AREA_RANGES[name], img_size=img_size)
+            if ap is not None:
+                stack.append(ap)
+        res[f"AP{name}"] = float(np.stack(stack).mean()) if stack else -1.0
+    return res

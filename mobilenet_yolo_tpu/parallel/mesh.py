@@ -46,6 +46,19 @@ def multihost_env_detected() -> bool:
     return False
 
 
+def _enable_cpu_collectives() -> None:
+    """Cross-process collectives on the CPU backend need an explicit
+    implementation (gloo ships with jaxlib); TPU/GPU runs are unaffected.
+    Lets multi-host code paths be exercised as real multi-process jobs on
+    localhost CPUs (tests/test_multiprocess.py)."""
+    if (os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+            or (jax.config.jax_platforms or "").startswith("cpu")):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # older jaxlib without the option: single-host CPU only
+
+
 def initialize_distributed(coordinator: str | None = None,
                            num_processes: int | None = None,
                            process_id: int | None = None) -> bool:
@@ -58,10 +71,12 @@ def initialize_distributed(coordinator: str | None = None,
     unconditionally before touching ``jax.devices()``.
     """
     if num_processes and num_processes > 1:
+        _enable_cpu_collectives()
         jax.distributed.initialize(coordinator, num_processes, process_id)
         return True
     if coordinator is None and num_processes is None \
             and multihost_env_detected():
+        _enable_cpu_collectives()
         jax.distributed.initialize()
         return True
     return False
@@ -117,6 +132,30 @@ def mesh_from_spec(spec: str, batch_size: int | None = None) -> Mesh | None:
     return create_mesh(n_data=n_data, n_model=n_model)
 
 
+def warmup_collectives(mesh: Mesh) -> None:
+    """Establish the cross-process communicator with one tiny collective.
+
+    On the CPU backend's gloo collectives the communicator context is
+    created on first use under a hard ~30s key-value rendezvous deadline;
+    the first REAL program's per-process compile skew (each process
+    compiles independently — minutes apart on a slow shared host) can blow
+    that deadline and fail the job with "Gloo context initialization
+    failed: DEADLINE_EXCEEDED". One trivially-compiled all-gather up
+    front, while every process is still in lockstep from
+    ``jax.distributed.initialize``, creates the context that later
+    programs reuse. No-op single-process; cheap (one scalar per device)
+    on real pods.
+    """
+    if jax.process_count() <= 1:
+        return
+    data = NamedSharding(mesh, P(mesh.axis_names[0]))
+    x = jax.device_put(np.arange(mesh.devices.size, dtype=np.float32), data)
+    # sharded input -> replicated output forces a real all-gather
+    out = jax.jit(lambda v: v * 1.0, in_shardings=data,
+                  out_shardings=NamedSharding(mesh, P()))(x)
+    np.asarray(out)  # block until the collective completed everywhere
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the data axis."""
     return NamedSharding(mesh, P("data"))
@@ -141,3 +180,30 @@ def shard_batch(mesh: Mesh, tree):
             lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
             tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def global_batch(mesh: Mesh, tree):
+    """Place HOST-COMPLETE batch arrays onto the mesh, batch-sharded.
+
+    The dual of :func:`shard_batch`: there every process holds only its
+    slice of the global batch; here every process holds the SAME full
+    batch (e.g. the deterministic eval loader run identically on each
+    host) and each host's devices pull just the rows they own via
+    ``make_array_from_callback`` — no cross-host data movement, and the
+    device work still splits over the whole ``data`` axis. Scalars /
+    rank-0 leaves are replicated.
+
+    This is what makes multi-host evaluation cost 1x device time while
+    keeping metrics (and the val_conf controller) in lockstep on every
+    host: the batch is globally sharded for the forward, the replicated
+    outputs are readable on every process, and the host-side GT is already
+    host-complete.
+    """
+
+    def place(x):
+        x = np.asarray(x)
+        spec = P("data") if x.ndim else P()
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(place, tree)

@@ -115,7 +115,12 @@ class Trainer:
         self.segmentation = segmentation
         self.mesh = mesh
         self.report = report or NoOpReport()
-        self.verbose = verbose
+        # host-side observability (prints, TSV log, TB events) comes from
+        # process 0 only under multi-host — metrics are identical on every
+        # process by construction (lockstep eval), so N copies would just
+        # interleave garbled output / clobber each other's files
+        self._primary = jax.process_index() == 0
+        self.verbose = verbose and self._primary
 
         img_size = (int(model_cfg["img_w"]), int(model_cfg["img_h"]))
         self.state, self.tx = create_train_state(
@@ -130,6 +135,15 @@ class Trainer:
             from mobilenet_yolo_tpu.parallel.sharding import \
                 shard_over_model_axis
             self.state = shard_over_model_axis(self.state, mesh)
+        elif mesh is not None and jax.process_count() > 1:
+            # multi-host: the freshly-initialized state leaves are process-
+            # local single-device arrays (init runs identically on every
+            # host); replicate them onto the global mesh so every consumer
+            # — the jitted steps, and especially Orbax, which refuses to
+            # serialize host-local arrays in a multi-process job — sees
+            # pod-global arrays
+            from mobilenet_yolo_tpu.parallel.sharding import replicate
+            self.state = replicate(self.state, mesh)
         self.device_pixel_aug = device_pixel_aug
         # device_geometry: batches arrive as staged sources + compose
         # parameters (Loader(device_geometry=True)); the step runs the whole
@@ -148,18 +162,19 @@ class Trainer:
         # eval rides the same mesh as training (batch sharded over the
         # ``data`` axis) so the alternate-epoch mAP pass scales with the
         # chip count instead of serializing on one device. Multi-host runs
-        # keep a meshless predict: every host evaluates the full set
-        # locally (metrics are host-local; a cross-process device_put of a
-        # host-complete batch is ill-defined).
-        predict_mesh = mesh if (mesh is not None
-                                and jax.process_count() == 1) else None
+        # use the SAME sharded predict: the eval loader yields identical
+        # host-complete batches on every process (shuffle=False), each
+        # host's devices pull just their rows (parallel.mesh.global_batch)
+        # and the replicated detections are readable everywhere — eval
+        # costs 1x device time pod-wide with metrics/val_conf in lockstep.
         self.predict = make_predict_fn(model, model_cfg, top_k=cfg.nms_top_k,
                                        normalize=device_normalize,
-                                       mesh=predict_mesh)
-        self._eval_pad_multiple = (predict_mesh.shape.get("data", 1)
-                                   if predict_mesh is not None else 1)
+                                       mesh=mesh)
+        self._eval_pad_multiple = (mesh.shape.get("data", 1)
+                                   if mesh is not None else 1)
         self.ckpt = CheckpointManager(cfg.checkpoint_dir)
-        self.tb = TensorBoardWriter(cfg.tensorboard_dir)
+        self.tb = TensorBoardWriter(cfg.tensorboard_dir
+                                    if self._primary else None)
         self.logger = None
         self.best_acc = 0.0
         self._profiled = False
@@ -187,6 +202,17 @@ class Trainer:
     def _log(self, msg: str):
         if self.verbose:
             print(msg, flush=True)
+
+    def _scalar(self, value, dtype):
+        """Scalar for a TrainState.replace(...) splice. Multi-host jobs
+        need pod-GLOBAL (replicated) arrays — a plain jnp scalar is a
+        host-local single-device array that Orbax refuses to serialize in
+        a multi-process job (and that would degrade the otherwise-global
+        state tree the jitted steps consume)."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from mobilenet_yolo_tpu.parallel.mesh import global_batch
+            return global_batch(self.mesh, np.asarray(value, dtype))
+        return jnp.asarray(value, dtype)
 
     def _ckpt_step(self, epoch: int, batch_idx: int = 0) -> int:
         """Monotonic orbax step id. Plain epoch numbering unless mid-epoch
@@ -315,7 +341,7 @@ class Trainer:
                 # mid-epoch snapshot: (epoch, batch_idx) ride the state so
                 # a killed run resumes at exactly this batch
                 self.state = self.state.replace(
-                    batch_idx=jnp.asarray(i + 1, jnp.int32))
+                    batch_idx=self._scalar(i + 1, jnp.int32))
                 self.ckpt.save(self._ckpt_step(epoch, i + 1), self.state)
         if pending is not None:
             drain(pending)
@@ -347,31 +373,22 @@ class Trainer:
                        else self.state.params)
         variables = {"params": eval_params,
                      "batch_stats": self.state.batch_stats}
-        if jax.process_count() > 1:
-            # multi-host keeps a MESHLESS predict (every host evaluates
-            # the full set for lockstep metrics/val_conf — the eval
-            # loader is built shard_by_process=False); the train state's
-            # leaves are pod-global arrays a local jit cannot consume, so
-            # pull the (replicated) values to host and feed local copies.
-            # Only DP-replicated state can be localized — model-axis
-            # (tensor-parallel) shards span non-addressable devices.
-            if (self.mesh is not None
-                    and self.mesh.shape.get("model", 1) > 1):
-                raise NotImplementedError(
-                    "multi-host evaluation with a tensor-parallel mesh "
-                    "is not supported: the params are sharded across "
-                    "hosts and the meshless eval cannot localize them — "
-                    "use a data-parallel-only mesh (--mesh N) for "
-                    "multi-host training with in-loop eval")
-            variables = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)),
-                                     variables)
+        # Multi-host rides the same mesh-sharded predict as single-host
+        # multi-chip: the state's (pod-global) params feed the jit
+        # directly — DP-replicated AND model-axis (tensor-parallel)
+        # placements both propagate (eval/detector.py pins only the
+        # outputs replicated under TP) — and evaluate_detection places
+        # each host-complete eval batch via global_batch, so the forward
+        # costs 1x device time pod-wide and every host computes identical
+        # metrics/val_conf from the replicated detections.
         res = evaluate_detection(
             self.predict, variables, loader, self.classes_name,
             float(self.state.val_conf),
             pad_multiple=self._eval_pad_multiple, batch_size=batch_size,
-            log=self._log if self.verbose else None)
+            log=self._log if self.verbose else None,
+            mesh=self.mesh if jax.process_count() > 1 else None)
         self.state = self.state.replace(
-            val_conf=jnp.asarray(res["new_conf"], jnp.float32))
+            val_conf=self._scalar(res["new_conf"], jnp.float32))
         return res["mAP"], res["aps"]
 
     # ---------------------------------------------------------------- fit --
@@ -379,7 +396,7 @@ class Trainer:
             eval_loader_fn: Callable[[], Iterable],
             start_epoch: int | None = None) -> float:
         cfg = self.cfg
-        if self.logger is None:
+        if self.logger is None and self._primary:
             path = os.path.join(cfg.checkpoint_dir, "log.txt")
             resume = os.path.isfile(path) and start_epoch != 0
             self.logger = Logger(path, title="training-process", resume=resume)
@@ -400,22 +417,24 @@ class Trainer:
             self.tb.scalar("iou/train", iou, epoch)
 
             self.state = self.state.replace(
-                epoch=jnp.asarray(epoch + 1, jnp.int32),
-                batch_idx=jnp.asarray(0, jnp.int32))
+                epoch=self._scalar(epoch + 1, jnp.int32),
+                batch_idx=self._scalar(0, jnp.int32))
             evaluate_now = (epoch % cfg.eval_every) == (cfg.eval_every - 1)
             if evaluate_now:
                 test_acc, _ = self.evaluate(eval_loader_fn())
                 self.report.intermediate(test_acc)
                 self.best_acc = max(test_acc, self.best_acc)
                 self.state = self.state.replace(
-                    best_acc=jnp.asarray(self.best_acc, jnp.float32))
+                    best_acc=self._scalar(self.best_acc, jnp.float32))
                 self.tb.scalar("Accuracy/test", test_acc, epoch + 1)
                 self.ckpt.save(self._ckpt_step(epoch + 1), self.state,
                                mAP=test_acc)
             else:
                 self.ckpt.save(self._ckpt_step(epoch + 1), self.state)
-            self.logger.append([epoch + 1, stats.get("loss", 0.0), test_acc,
-                                time.time() - st, iou, stats["lr"]])
+            if self.logger:
+                self.logger.append([epoch + 1, stats.get("loss", 0.0),
+                                    test_acc, time.time() - st, iou,
+                                    stats["lr"]])
         self.report.final(self.best_acc)
         self.ckpt.close()
         self.tb.close()

@@ -141,8 +141,12 @@ def test_cli_eval_coco_ap_flag(tmp_path, rng, capsys):
                    "--mesh", "none", "--coco-ap"])
     out = json.loads(capsys.readouterr().out)
     coco = out["coco"]
-    assert set(coco) == {"AP", "AP50", "AP75", "per_class"}
+    assert set(coco) == {"AP", "AP50", "AP75", "APsmall", "APmedium",
+                         "APlarge", "per_class"}
     # protocol sanity on real pipeline output: AP50 upper-bounds the
     # IoU-averaged AP, which upper-bounds AP75
     assert coco["AP50"] + 1e-9 >= coco["AP"] >= coco["AP75"] - 1e-9
     assert 0.0 <= coco["AP"] <= 1.0
+    # area-range APs: -1.0 (no GT in range) or a valid AP
+    for k in ("APsmall", "APmedium", "APlarge"):
+        assert coco[k] == -1.0 or 0.0 <= coco[k] <= 1.0

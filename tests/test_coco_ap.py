@@ -136,6 +136,61 @@ def test_max_dets_cap():
     assert res["AP"] == pytest.approx(51 / 101)
 
 
+def test_area_range_aps_partition():
+    """Three perfect detections of a small (20x20 px at the 100x100 eval
+    frame = 400 px^2 < 32^2), a medium (50x50 = 2500 px^2) and a large
+    (98x98 = 9604 px^2 > 96^2) GT: every range-AP is 1 — each range sees
+    only its own GT (others ignored) and the off-range detections match
+    those ignored GTs, so they are unscored rather than FPs."""
+    small = [0.0, 0.0, 0.2, 0.2]
+    medium = [0.3, 0.3, 0.8, 0.8]
+    large = [0.005, 0.005, 0.985, 0.985]
+    args = _one_image(
+        [(small, 1, 0.9), (medium, 1, 0.8), (large, 1, 0.7)],
+        [(small, 1), (medium, 1), (large, 1)])
+    res = calculate_coco_map(*args, CLASSES, img_size=(100, 100))
+    for key in ("AP", "APsmall", "APmedium", "APlarge"):
+        assert res[key] == pytest.approx(1.0), key
+
+
+def test_area_range_unmatched_out_of_range_det_not_fp():
+    """A small unmatched detection (10x10 px) scored ABOVE a perfect
+    large TP: the all-range AP takes the FP hit (envelope 1/2) but
+    APlarge stays 1 — an unmatched detection outside the range is
+    unscored (cocoeval.py's final dtIg line) — and APsmall is -1 (no
+    small GT anywhere)."""
+    large = [0.0, 0.0, 0.98, 0.98]
+    tiny_fp = [0.0, 0.0, 0.1, 0.1]
+    args = _one_image(
+        [(large, 1, 0.7), (tiny_fp, 1, 0.95)], [(large, 1)])
+    res = calculate_coco_map(*args, CLASSES, img_size=(100, 100))
+    assert res["AP"] == pytest.approx(0.5)
+    assert res["APlarge"] == pytest.approx(1.0)
+    assert res["APsmall"] == -1.0
+    assert res["APmedium"] == -1.0
+
+
+def test_area_range_ignored_gt_absorbs_det():
+    """A medium GT evaluated under the small range is ignored; its exact
+    detection matches the ignored GT and is unscored — with no in-range
+    GT the class is skipped, so APsmall reports -1 rather than charging
+    an FP."""
+    medium = [0.3, 0.3, 0.8, 0.8]
+    args = _one_image([(medium, 1, 0.9)], [(medium, 1)])
+    res = calculate_coco_map(*args, CLASSES, img_size=(100, 100))
+    assert res["APmedium"] == pytest.approx(1.0)
+    assert res["APsmall"] == -1.0
+    assert res["APlarge"] == -1.0
+
+
+def test_area_ranges_skipped_without_img_size():
+    box = [0.1, 0.1, 0.5, 0.5]
+    args = _one_image([(box, 1, 0.9)], [(box, 1)])
+    res = calculate_coco_map(*args, CLASSES)
+    assert res["AP"] == pytest.approx(1.0)
+    assert res["APsmall"] == -1.0
+
+
 def test_evaluator_compute_coco_end_to_end():
     """Evaluator.add_batch -> compute_coco plumbing (fixed-K padded dets,
     difficult flags threaded)."""
