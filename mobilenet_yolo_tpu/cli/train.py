@@ -115,6 +115,13 @@ def get_params(argv=None):
                              "0.999-0.9999 typical); evaluation and "
                              "best-model selection use the averaged "
                              "params (beyond-reference stabilizer)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize backbone blocks in the "
+                             "backward (jax.checkpoint): recompute the "
+                             "6x-expanded hidden activations instead of "
+                             "storing them — trades step time for "
+                             "activation HBM, enabling larger batches "
+                             "(PERF.md 'Training throughput')")
     parser.add_argument("--slim-l1", default=0.0, type=float,
                         help="Network Slimming L1 penalty on the prunable "
                              "BatchNorm gammas (prune.py; 1e-4..1e-5 "
@@ -178,6 +185,8 @@ def main(args, report=None):
             model_cfg["batch_size"] = args.batch_size
     if args.slim_l1:
         model_cfg["slim_l1"] = args.slim_l1
+    if args.remat:
+        model_cfg["remat"] = True
 
     import jax.numpy as jnp
     mesh = mesh_from_spec(args.mesh, batch_size=model_cfg["batch_size"]

@@ -29,6 +29,9 @@ def build_model(config: dict, backbone: str = "mbv2", dtype=None):
     num_classes = config["yolo"]["num_classes"]
     num_anchors = config["yolo"]["num_anchors"]
     seg_classes = config.get("seg", {}).get("num_classes", 0)
+    # rematerialize backbone blocks in the backward (activation-HBM vs
+    # recompute-FLOPs trade; measured in PERF.md "Training throughput")
+    remat = bool(config.get("remat", False))
     # channel-pruned widths from tools/prune.py (model yaml 'prune:' block)
     prune_cfg = config.get("prune") or {}
     hidden = prune_cfg.get("backbone_hidden")
@@ -38,16 +41,16 @@ def build_model(config: dict, backbone: str = "mbv2", dtype=None):
         return MBv2YOLO(num_classes=num_classes, num_anchors=num_anchors,
                         seg_num_classes=seg_classes,
                         backbone_hidden=hidden, backbone_head=head,
-                        dtype=dtype)
+                        remat=remat, dtype=dtype)
     if backbone == "mbv3":
         if head is not None:
             raise ValueError("backbone_head is not prunable for mbv3 — its"
                              " consumer is a width-coupled depthwise stack"
                              " (see prune.py)")
         return MBv3YOLO(num_classes=num_classes, num_anchors=num_anchors,
-                        backbone_hidden=hidden, dtype=dtype)
+                        backbone_hidden=hidden, remat=remat, dtype=dtype)
     if backbone == "mbv3_macc":
         return MBv3YOLOMacc(num_classes=num_classes, num_anchors=num_anchors,
                             backbone_hidden=hidden, backbone_head=head,
-                            dtype=dtype)
+                            remat=remat, dtype=dtype)
     raise ValueError(f"unknown backbone {backbone!r}")

@@ -34,6 +34,8 @@ class MBv2YOLO(nn.Module):
     # channel-pruned backbone widths (prune.py; model-yaml ``prune:`` block)
     backbone_hidden: tuple[int | None, ...] | None = None
     backbone_head: int | None = None
+    # rematerialize the backbone blocks in the backward (MobileNetV2.remat)
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -42,6 +44,7 @@ class MBv2YOLO(nn.Module):
         c4, c5 = MobileNetV2(width_mult=self.width_mult,
                              hidden_overrides=self.backbone_hidden,
                              head_features=self.backbone_head,
+                             remat=self.remat,
                              dtype=self.dtype,
                              name="backbone")(x, train)
 

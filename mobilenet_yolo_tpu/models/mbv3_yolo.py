@@ -32,12 +32,14 @@ class MBv3YOLO(nn.Module):
     # head is NOT prunable here — its consumer is a width-coupled
     # DepthwiseConvolution, unlike MBv2's 1x1 conv
     backbone_hidden: tuple[int | None, ...] | None = None
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         head_ch = self.num_anchors * (5 + self.num_classes)
         c4, c5 = MobileNetV3Large(hidden_overrides=self.backbone_hidden,
+                                  remat=self.remat,
                                   dtype=self.dtype, name="backbone")(x, train)
 
         s32 = DepthwiseConvolution(320, dtype=self.dtype, name="conv_for_S32")(c5, train)

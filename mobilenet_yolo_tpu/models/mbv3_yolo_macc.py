@@ -30,6 +30,7 @@ class MBv3YOLOMacc(nn.Module):
     # MBv3YOLO's width-coupled DepthwiseConvolution)
     backbone_hidden: tuple[int | None, ...] | None = None
     backbone_head: int | None = None
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -37,6 +38,7 @@ class MBv3YOLOMacc(nn.Module):
         head_ch = self.num_anchors * (5 + self.num_classes)
         c4, c5 = MobileNetV3Large(hidden_overrides=self.backbone_hidden,
                                   head_features=self.backbone_head,
+                                  remat=self.remat,
                                   dtype=self.dtype, name="backbone")(x, train)
 
         s32 = ConvBNAct(512, 1, dtype=self.dtype, name="conv_for_S32")(c5, train)

@@ -36,6 +36,11 @@ class MobileNetV2(nn.Module):
     width_mult: float = 1.0
     hidden_overrides: tuple[int | None, ...] | None = None
     head_features: int | None = None
+    # rematerialize each inverted-residual block in the backward pass
+    # (jax.checkpoint via nn.remat): the 6x-expanded hidden activations are
+    # recomputed instead of stored, trading FLOPs for activation HBM.
+    # Param tree and forward numerics are identical (tests/test_remat.py).
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     def _hidden(self, idx: int) -> int | None:
@@ -45,6 +50,10 @@ class MobileNetV2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # static_argnums=(2,): (module, x, train) — ``train`` is a Python
+        # bool branching the BN graph, so it must stay trace-static
+        Block = (nn.remat(InvertedResidual, static_argnums=(2,))
+                 if self.remat else InvertedResidual)
         wm = self.width_mult
         div = 4 if wm == 0.1 else 8
         stem_ch = make_divisible(32 * wm, div)
@@ -55,18 +64,18 @@ class MobileNetV2(nn.Module):
         for t, c, n, s in CFGS_STAGE1:
             out_ch = make_divisible(c * wm, div)
             for i in range(n):
-                x = InvertedResidual(out_ch, s if i == 0 else 1, t,
-                                     hidden_features=self._hidden(idx),
-                                     dtype=self.dtype, name=f"block{idx}")(x, train)
+                x = Block(out_ch, s if i == 0 else 1, t,
+                          hidden_features=self._hidden(idx),
+                          dtype=self.dtype, name=f"block{idx}")(x, train)
                 idx += 1
         c4 = x  # stride 16, 96 ch
 
         for t, c, n, s in CFGS_STAGE2:
             out_ch = make_divisible(c * wm, div)
             for i in range(n):
-                x = InvertedResidual(out_ch, s if i == 0 else 1, t,
-                                     hidden_features=self._hidden(idx),
-                                     dtype=self.dtype, name=f"block{idx}")(x, train)
+                x = Block(out_ch, s if i == 0 else 1, t,
+                          hidden_features=self._hidden(idx),
+                          dtype=self.dtype, name=f"block{idx}")(x, train)
                 idx += 1
         head_ch = self.head_features or (
             make_divisible(1280 * wm, div) if wm > 1.0 else 1280)

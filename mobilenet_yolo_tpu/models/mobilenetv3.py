@@ -57,6 +57,8 @@ class MobileNetV3Large(nn.Module):
 
     hidden_overrides: tuple[int | None, ...] | None = None
     head_features: int | None = None
+    # rematerialize each bneck block in the backward (see MobileNetV2.remat)
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     def _hidden(self, slot: int) -> int | None:
@@ -65,17 +67,19 @@ class MobileNetV3Large(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        Block = (nn.remat(MBv3Block, static_argnums=(2,))
+                 if self.remat else MBv3Block)
         x = ConvBNAct(16, 3, stride=2, act="hswish", dtype=self.dtype,
                       name="stem")(x, train)
         for i, (k, e, c, act, se, s) in enumerate(LARGE_STAGE1):
-            x = MBv3Block(k, e, c, act, se, s, dtype=self.dtype,
-                          hidden_features=self._hidden(i),
-                          name=f"bneck{i}")(x, train)
+            x = Block(k, e, c, act, se, s, dtype=self.dtype,
+                      hidden_features=self._hidden(i),
+                      name=f"bneck{i}")(x, train)
         c4 = x  # stride 16, 160 ch
         for i, (k, e, c, act, se, s) in enumerate(LARGE_STAGE2):
-            x = MBv3Block(k, e, c, act, se, s, dtype=self.dtype,
-                          hidden_features=self._hidden(len(LARGE_STAGE1) + i),
-                          name=f"bneck2_{i}")(x, train)
+            x = Block(k, e, c, act, se, s, dtype=self.dtype,
+                      hidden_features=self._hidden(len(LARGE_STAGE1) + i),
+                      name=f"bneck2_{i}")(x, train)
         x = ConvBNAct(self.head_features or 960, 1, act="none",
                       dtype=self.dtype, name="head_conv")(x, train)
         c5 = hswish(x)  # stride 32, 960 ch
@@ -84,6 +88,7 @@ class MobileNetV3Large(nn.Module):
 
 class MobileNetV3Small(nn.Module):
     hidden_overrides: tuple[int | None, ...] | None = None
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     def _hidden(self, slot: int) -> int | None:
@@ -92,17 +97,19 @@ class MobileNetV3Small(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        Block = (nn.remat(MBv3Block, static_argnums=(2,))
+                 if self.remat else MBv3Block)
         x = ConvBNAct(16, 3, stride=2, act="hswish", dtype=self.dtype,
                       name="stem")(x, train)
         for i, (k, e, c, act, se, s) in enumerate(SMALL_STAGE1):
-            x = MBv3Block(k, e, c, act, se, s, dtype=self.dtype,
-                          hidden_features=self._hidden(i),
-                          name=f"bneck{i}")(x, train)
+            x = Block(k, e, c, act, se, s, dtype=self.dtype,
+                      hidden_features=self._hidden(i),
+                      name=f"bneck{i}")(x, train)
         c4 = x  # stride 16, 48 ch
         for i, (k, e, c, act, se, s) in enumerate(SMALL_STAGE2):
-            x = MBv3Block(k, e, c, act, se, s, dtype=self.dtype,
-                          hidden_features=self._hidden(len(SMALL_STAGE1) + i),
-                          name=f"bneck2_{i}")(x, train)
+            x = Block(k, e, c, act, se, s, dtype=self.dtype,
+                      hidden_features=self._hidden(len(SMALL_STAGE1) + i),
+                      name=f"bneck2_{i}")(x, train)
         x = ConvBNAct(576, 1, act="none", dtype=self.dtype, name="head_conv")(x, train)
         c5 = hswish(x)  # stride 32, 576 ch
         return c4, c5

@@ -174,6 +174,7 @@ def make_train_step(
     pixel_aug: bool = False,
     ema_decay: float | None = None,
     ema_ramp: float = 2000.0,
+    donate: bool = True,
 ) -> Callable:
     """Returns ``train_step(state, images, gt, n_gt[, seg_maps]
     [, jitter_op, jitter_factor]) -> (state, metrics)``, jitted (and
@@ -239,8 +240,9 @@ def make_train_step(
     if mesh is not None:
         # the jitter plans are per-image arrays — batch-sharded like the rest
         return _mesh_jit(step, mesh,
-                         n_data=3 + int(segmentation) + 2 * int(pixel_aug))
-    return jax.jit(step, donate_argnums=(0,))
+                         n_data=3 + int(segmentation) + 2 * int(pixel_aug),
+                         donate=donate)
+    return jax.jit(step, donate_argnums=(0,)) if donate else jax.jit(step)
 
 
 GEOMETRY_BATCH_KEYS = ("slots", "src_rect", "dst_rect", "fill_rect",
