@@ -123,10 +123,18 @@ def get_params(argv=None):
                              "activation HBM, enabling larger batches "
                              "(PERF.md 'Training throughput')")
     parser.add_argument("--slim-l1", default=0.0, type=float,
-                        help="Network Slimming L1 penalty on the prunable "
+                        help="Network Slimming L1 strength on the prunable "
                              "BatchNorm gammas (prune.py; 1e-4..1e-5 "
                              "typical) — train with this, then channel-"
                              "prune with tools/prune.py and fine-tune")
+    parser.add_argument("--slim-mode", default="prox",
+                        choices=["prox", "loss"],
+                        help="how --slim-l1 is applied: 'prox' (default) "
+                             "= preconditioned proximal soft-threshold "
+                             "outside AdamW (prune.py:slim_prox_update); "
+                             "'loss' = plain L1 loss term — measured to "
+                             "shrink ALL gammas uniformly under AdamW "
+                             "with zero concentration (TRAINING.md §7)")
     return parser.parse_args(argv)
 
 
@@ -185,6 +193,7 @@ def main(args, report=None):
             model_cfg["batch_size"] = args.batch_size
     if args.slim_l1:
         model_cfg["slim_l1"] = args.slim_l1
+        model_cfg["slim_mode"] = args.slim_mode
     if args.remat:
         model_cfg["remat"] = True
 

@@ -201,9 +201,18 @@ def apply_prune(params, batch_stats, keep: Mapping[str, np.ndarray]
 def slim_penalty(params) -> Any:
     """Sum of |gamma| over the prunable BNs (jit-traceable).
 
-    The Network Slimming sparsity term: the trainer adds
-    ``config["slim_l1"] * slim_penalty(params)`` to the loss so that
-    gammas of unimportant channels are driven toward zero before pruning.
+    The Network Slimming sparsity term as a LOSS term
+    (``slim_mode: loss``): the trainer adds ``config["slim_l1"] *
+    slim_penalty(params)`` to the loss. **Measured to fail under AdamW**
+    (the reference recipe's optimizer, train.py:134): Adam normalizes the
+    constant ``lam * sign(gamma)`` penalty gradient by its own second
+    moment, so every gamma shrinks at the SAME ~lr/step rate regardless
+    of how useful its channel is — a 60-epoch fabricated-VOC run left all
+    8384 prunable gammas in a uniform 0.75 +/- 0.01 band (bottom-30%
+    |gamma| mass = 29.7% ~= the cut ratio, i.e. zero concentration) and
+    the 30% cut collapsed mAP 0.927 -> 0.169 before fine-tuning
+    (docs/TRAINING.md §7). Kept for the record; train with
+    :func:`slim_prox_update` (``slim_mode: prox``, the default) instead.
     """
     import jax.numpy as jnp
     backbone = params["backbone"]
@@ -215,6 +224,64 @@ def slim_penalty(params) -> Any:
         total = total + jnp.sum(
             jnp.abs(backbone[_HEAD_SITE]["bn"]["scale"]))
     return total
+
+
+def slim_prox_update(params, nu, count, lr, lam: float,
+                     b2: float = 0.999, eps: float = 1e-8):
+    """Preconditioned proximal L1 step on the prunable gammas (jit-safe).
+
+    Network Slimming's sparsity pressure, applied OUTSIDE the optimizer as
+    a soft-threshold in Adam's own preconditioned metric — the fix for the
+    measured loss-term failure documented at :func:`slim_penalty`::
+
+        gamma <- sign(gamma) * max(|gamma| - lr * lam / (sqrt(v_hat) + eps), 0)
+
+    where ``v_hat`` is the gamma's bias-corrected Adam second moment
+    (``nu / (1 - b2**count)``). The shrink and Adam's data-driven restore
+    ``lr * m_hat / (sqrt(v_hat) + eps)`` share the preconditioner, so they
+    cancel: a channel survives iff its MEAN data-gradient magnitude on
+    gamma exceeds ``lam`` — exactly the plain-SGD Network Slimming
+    criterion (Liu et al. 2017 trained with SGD, where the lam-vs-gradient
+    competition is magnitude-based), restored under AdamW. Dead channels
+    (noise-only gradient, tiny ``v_hat``) get a large threshold and are
+    driven to exactly 0 within a few steps; they can still revive — the
+    gamma gradient ``sum(delta * x_hat)`` flows at gamma == 0.
+
+    Called by the train steps after ``optax.apply_updates`` when the model
+    config carries ``slim_l1`` with ``slim_mode: prox`` (the default mode,
+    cli/train.py ``--slim-l1/--slim-mode``). ``nu``/``count`` come from
+    the post-update optimizer state; ``lr`` from the injected
+    hyperparams. Returns a new params tree (touched paths rebuilt).
+    """
+    import jax.numpy as jnp
+
+    bias_corr = 1.0 - jnp.power(jnp.float32(b2), count.astype(jnp.float32))
+
+    def soft(gamma, nu_gamma):
+        thr = lr * lam / (jnp.sqrt(nu_gamma / bias_corr) + eps)
+        return jnp.sign(gamma) * jnp.maximum(jnp.abs(gamma) - thr, 0.0)
+
+    params = dict(params)
+    backbone = dict(params["backbone"])
+    nu_backbone = nu["backbone"]
+    for name in _block_sites(backbone):
+        site = dict(backbone[name])
+        expand = dict(site["expand"])
+        bn = dict(expand["bn"])
+        bn["scale"] = soft(bn["scale"],
+                           nu_backbone[name]["expand"]["bn"]["scale"])
+        expand["bn"] = bn
+        site["expand"] = expand
+        backbone[name] = site
+    if _head_prunable(params):
+        site = dict(backbone[_HEAD_SITE])
+        bn = dict(site["bn"])
+        bn["scale"] = soft(bn["scale"],
+                           nu_backbone[_HEAD_SITE]["bn"]["scale"])
+        site["bn"] = bn
+        backbone[_HEAD_SITE] = site
+    params["backbone"] = backbone
+    return params
 
 
 def param_count(tree) -> int:

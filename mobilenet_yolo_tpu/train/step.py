@@ -29,6 +29,39 @@ from mobilenet_yolo_tpu.train.state import TrainState
 HEAD_KEYS = ("out0", "out1")
 
 
+def _slim_cfg(config: dict) -> tuple[float, str]:
+    """(lambda, mode) of the Network Slimming sparsity config — mode
+    "prox" (default; preconditioned proximal step, prune.py:
+    slim_prox_update) or "loss" (L1 loss term, the measured-to-fail
+    baseline kept for the record)."""
+    lam = float(config.get("slim_l1") or 0.0)
+    mode = str(config.get("slim_mode") or "prox")
+    if mode not in ("prox", "loss"):
+        raise ValueError(f"slim_mode must be 'prox' or 'loss', got {mode!r}")
+    return lam, mode
+
+
+def _slim_prox(config: dict, new_params, new_opt):
+    """Apply the proximal Network-Slimming shrink after an optimizer
+    update (no-op unless the config asks for slim_mode prox)."""
+    lam, mode = _slim_cfg(config)
+    if not lam or mode != "prox":
+        return new_params
+    from mobilenet_yolo_tpu.prune import slim_prox_update
+    # The bias-correction count must be Adam's own (the ScaleByAdamState
+    # that carries nu) — inject_hyperparams wraps the chain in a state
+    # with a second `count`, so filter to the one sitting next to `nu`.
+    adam_count = optax.tree_utils.tree_get(
+        new_opt, "count",
+        filtering=lambda path, _: getattr(
+            path[-1], "tuple_name", None) == "ScaleByAdamState")
+    return slim_prox_update(
+        new_params,
+        optax.tree_utils.tree_get(new_opt, "nu"),
+        adam_count,
+        new_opt.hyperparams["learning_rate"], lam)
+
+
 def _mesh_jit(step, mesh, n_data: int, n_trailing_repl: int = 0,
               donate: bool = True):
     """jit a step function over a mesh.
@@ -65,8 +98,13 @@ def make_loss_fn(model, config: dict, segmentation: bool = False,
     iou_thresh = float(yolo_cfg["iou_thresh"])
     iou_weighting = float(config.get("iou_weighting", 0.01))
     num_classes = int(yolo_cfg["num_classes"])
-    # Network Slimming sparsity (prune.py): L1 on the prunable BN gammas
-    slim_l1 = float(config.get("slim_l1") or 0.0)
+    # Network Slimming sparsity (prune.py). Mode "loss" adds the L1 term
+    # here; the default "prox" applies it outside the optimizer in the
+    # train steps instead (slim_prox_update documents why loss-mode L1
+    # measurably fails under AdamW)
+    slim_l1, slim_mode = _slim_cfg(config)
+    if slim_mode != "loss":
+        slim_l1 = 0.0
     if normalize:
         norm_cfg = config.get("normalize",
                               {"mean": [0.5] * 3, "std": [1.0] * 3})
@@ -211,7 +249,8 @@ def make_train_step(
             state.params, state.batch_stats, images, gt, n_gt, seg_maps,
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params = _slim_prox(config, optax.apply_updates(state.params,
+                                                            updates), new_opt)
         new_state = state.replace(
             params=new_params, batch_stats=new_stats, opt_state=new_opt,
             ema_params=_ema_update(state, new_params, new_opt, ema_decay,
@@ -335,7 +374,8 @@ def make_geometry_train_step(model, config: dict,
             (_, (new_stats, metrics)), grads = grad_fn(
                 state.params, state.batch_stats, images, gt, n_gt, seg_maps)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            new_params = _slim_prox(config, optax.apply_updates(
+                state.params, updates), new_opt)
             return state.replace(
                 params=new_params, batch_stats=new_stats, opt_state=new_opt,
                 ema_params=_ema_update(state, new_params, new_opt,

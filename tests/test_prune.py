@@ -141,7 +141,8 @@ def test_pruned_model_trains_and_predicts(variables):
     assert np.all(np.isfinite(np.asarray(dets)))
 
 
-def test_slim_l1_shrinks_gammas(variables):
+@pytest.mark.parametrize("mode", ["loss", "prox"])
+def test_slim_l1_shrinks_gammas(variables, mode):
     from mobilenet_yolo_tpu.data.synthetic import synthetic_batches
     from mobilenet_yolo_tpu.train.state import create_train_state
     from mobilenet_yolo_tpu.train.step import make_train_step
@@ -150,6 +151,7 @@ def test_slim_l1_shrinks_gammas(variables):
         cfg = dict(MODEL_CFG)
         if slim:
             cfg["slim_l1"] = 0.05
+            cfg["slim_mode"] = mode
         model = build_model(cfg, "mbv2")
         state, tx = create_train_state(model, jax.random.PRNGKey(0),
                                        (64, 64), learning_rate=5e-3,
@@ -168,6 +170,43 @@ def test_slim_l1_shrinks_gammas(variables):
     with_l1, without_l1 = run(True), run(False)
     assert with_l1 < without_l1
     assert with_l1 < start
+
+
+def test_slim_prox_update_thresholds_by_second_moment(variables):
+    """The prox shrink is lr*lam/(sqrt(v_hat)+eps): gammas whose Adam
+    second moment is ~0 (dead channels) are zeroed outright, gammas with a
+    real gradient history are left essentially untouched, and nothing
+    outside the prunable BN scales moves."""
+    from mobilenet_yolo_tpu.prune import slim_prox_update
+
+    params = jax.tree.map(jnp.asarray, variables["params"])
+    # second moments: zero (dead) everywhere except block2 (alive)
+    nu = jax.tree.map(jnp.zeros_like, params)
+    nu["backbone"]["block2"]["expand"]["bn"]["scale"] = jnp.ones_like(
+        nu["backbone"]["block2"]["expand"]["bn"]["scale"])
+
+    out = jax.jit(lambda p, n: slim_prox_update(
+        p, n, count=jnp.asarray(1000, jnp.int32),
+        lr=jnp.float32(1e-3), lam=1e-4))(params, nu)
+
+    # same treedef (state.replace/jit compatibility)
+    assert (jax.tree_util.tree_structure(out)
+            == jax.tree_util.tree_structure(params))
+    gammas = prunable_gammas(out)
+    for site, g in gammas.items():
+        if site == "block2":
+            np.testing.assert_allclose(
+                g, prunable_gammas(params)[site], rtol=0, atol=1e-5)
+        else:
+            np.testing.assert_array_equal(g, 0.0)
+    # a non-gamma leaf is bit-identical
+    np.testing.assert_array_equal(
+        np.asarray(out["backbone"]["block2"]["expand"]["conv"]["kernel"]),
+        np.asarray(params["backbone"]["block2"]["expand"]["conv"]["kernel"]))
+    # BN biases untouched too (only scales are gated)
+    np.testing.assert_array_equal(
+        np.asarray(out["backbone"]["block3"]["expand"]["bn"]["bias"]),
+        np.asarray(params["backbone"]["block3"]["expand"]["bn"]["bias"]))
 
 
 def test_prune_cli_roundtrip(tmp_path, variables):
