@@ -156,6 +156,31 @@ def warmup_collectives(mesh: Mesh) -> None:
     np.asarray(out)  # block until the collective completed everywhere
 
 
+_BARRIER_SEQ = [0]
+
+
+def sync_processes(name: str, timeout_ms: int = 600_000) -> None:
+    """Cross-process barrier via the coordination service (NOT gloo).
+
+    Gloo communicator cliques rendezvous through the distributed KV store
+    under a hardcoded ~30s ``GetKeyValue`` deadline; each newly-shaped
+    collective (e.g. the first eval program after an epoch of training)
+    re-rendezvouses, and per-process compile skew on a loaded host can
+    exceed 30s and kill the job with DEADLINE_EXCEEDED. The coordination
+    service's barrier has a configurable (long) deadline and no gloo
+    dependency, so a barrier at phase boundaries re-synchronizes the ranks
+    before they reach the next clique rendezvous. No-op single-process.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+    client = distributed.global_state.client
+    if client is None:  # pragma: no cover - initialize() always sets it
+        return
+    _BARRIER_SEQ[0] += 1
+    client.wait_at_barrier(f"myt_{name}_{_BARRIER_SEQ[0]}", timeout_ms)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the data axis."""
     return NamedSharding(mesh, P("data"))

@@ -224,6 +224,12 @@ class Trainer:
     # -------------------------------------------------------------- train --
     def train_epoch(self, loader: Iterable, epoch: int,
                     start_batch: int = 0) -> dict:
+        from mobilenet_yolo_tpu.parallel.mesh import sync_processes
+
+        # bound inter-rank skew entering the epoch's first collective
+        # (new multiscale buckets compile new programs → new gloo cliques
+        # with a ~30s rendezvous deadline; see mesh.py:sync_processes)
+        sync_processes("pre_epoch")
         lr = learning_rate_for_epoch(self.cfg.learning_rate, epoch,
                                      self.cfg.schedule, self.cfg.warm_up)
         self.state = self.state.with_lr(lr)
@@ -364,6 +370,12 @@ class Trainer:
     def evaluate(self, loader: Iterable, batch_size: int | None = None
                  ) -> tuple[float, dict]:
         from mobilenet_yolo_tpu.eval.evaluator import evaluate_detection
+        from mobilenet_yolo_tpu.parallel.mesh import sync_processes
+
+        # re-sync ranks before the eval program's first (newly-shaped)
+        # collective: its gloo clique rendezvous has a hard ~30s deadline
+        # that per-process compile skew can otherwise blow (mesh.py)
+        sync_processes("pre_eval")
 
         # with EMA on, evaluate (and thereby select/save the best model
         # with) the averaged weights; BN stats are already a running

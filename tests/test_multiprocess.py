@@ -53,7 +53,7 @@ def _env(local_devices: int) -> dict:
 
 
 def _run_workers(tmp_path, mode: str, num_processes: int,
-                 timeout: int = 900) -> list[dict]:
+                 timeout: int = 900, _retry: bool = True) -> list[dict]:
     """Launch mp_worker ranks concurrently; return their JSON results."""
     port = _free_port()
     local_devices = 4 // num_processes
@@ -71,10 +71,27 @@ def _run_workers(tmp_path, mode: str, num_processes: int,
         procs.append(subprocess.Popen(
             cmd, env=_env(local_devices), cwd=str(tmp_path),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    results = []
+    results, logs = [], []
     for p, out in zip(procs, outs):
         stdout, _ = p.communicate(timeout=timeout)
-        assert p.returncode == 0, f"rank failed:\n{stdout[-4000:]}"
+        logs.append((p.returncode, stdout, out))
+    if any(rc != 0 for rc, _, _ in logs):
+        combined = "\n".join(s for _, s, _ in logs)
+        # XLA's gloo clique rendezvous rides the coordination KV store
+        # under a HARDCODED ~30s GetKeyValue deadline; on a loaded 1-core
+        # host the ranks' independent compiles can skew past it. That is
+        # a machine-load artifact, not a product failure — the in-tree
+        # mitigation (mesh.py:sync_processes phase barriers) bounds the
+        # skew between phases but cannot equalize compile times, so this
+        # one signature gets ONE retry on an otherwise idle box.
+        if _retry and "DEADLINE_EXCEEDED" in combined:
+            import shutil
+            shutil.rmtree(tmp_path / f"ckpt_{mode}", ignore_errors=True)
+            return _run_workers(tmp_path, mode, num_processes,
+                                timeout=timeout, _retry=False)
+        for rc, stdout, _ in logs:
+            assert rc == 0, f"rank failed:\n{stdout[-4000:]}"
+    for _, _, out in logs:
         with open(out) as f:
             results.append(json.load(f))
     return results
