@@ -123,11 +123,28 @@ class CheckpointManager:
         Tolerant of optional TrainState fields (ema_params on EMA-trained
         runs) that a fixed template would reject — the serving/eval CLIs
         use this to load weights from any run's checkpoints.
+
+        Restores array leaves as HOST numpy: a template-free
+        ``StandardRestore()`` would re-apply the shardings recorded at
+        save time, which name concrete devices ("Device TPU v5 lite0 was
+        not found in jax.local_devices()") — so a TPU-trained checkpoint
+        would be unloadable from a CPU process (pruning/quantization
+        tooling, off-accelerator conversion). The consumers here put the
+        weights wherever they need them anyway.
         """
         step = self.latest_step()
         if step is None:
             return None
-        raw = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        import jax
+        import numpy as np
+        path = os.path.join(self.directory, str(step), "default")
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path).item_metadata
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        raw = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
         if not isinstance(raw, dict):
             raw = {"params": raw.params, "batch_stats": raw.batch_stats,
                    "val_conf": raw.val_conf,
