@@ -1,4 +1,4 @@
-"""Executed multi-host proof: real 2-process ``jax.distributed`` jobs.
+"""Executed multi-host proof: real 2- and 4-process ``jax.distributed`` jobs.
 
 SURVEY.md §2.4 mandates parallelism as first-class; until now the
 multi-host path (parallel/mesh.py:initialize_distributed, per-host input
@@ -7,9 +7,10 @@ simulation. These tests spawn actual multi-process jobs on localhost CPUs
 (2 processes x 2 virtual devices = the same 4-device global mesh as the
 single-process reference run) and assert:
 
-* DP: both ranks produce bit-identical loss/mAP/val_conf, matching the
+* DP: all ranks produce bit-identical loss/mAP/val_conf, matching the
   single-process run on the same global data (train step collectives ride
-  gloo across processes);
+  gloo across processes) — proven at 2 processes x 2 devices AND at
+  4 processes x 1 device (the roster/slicing logic generalizes past N=2);
 * TP (2x2 mesh): multi-host training AND in-loop evaluation work with
   tensor-parallel params (the round-3 NotImplementedError is gone) and
   match the single-process TP run;
@@ -147,6 +148,20 @@ def test_two_process_tensor_parallel_train_and_eval(tmp, dp_reference):
     ranks = _run_workers(tmp, "tp", num_processes=2)
     for key in SCALARS:
         assert ranks[0][key] == ranks[1][key], (key, ranks)
+    _assert_matches(ranks[0], dp_reference)
+
+
+def test_four_process_dp_matches_single_process(tmp, dp_reference):
+    """4 processes x 1 local device (same 4-device global mesh): proves
+    the roster/slicing logic generalizes past N=2 — each rank contributes
+    ONE device and a 2-row slice of every global batch, `shard_batch`
+    assembles 4 per-process slices, and eval's `global_batch` pulls each
+    host's rows from a 4-way host split. Reuses the module-scoped
+    single-process oracle, so cost is one extra 4-rank job."""
+    ranks = _run_workers(tmp, "dp", num_processes=4)
+    assert len(ranks) == 4
+    for key in SCALARS:
+        assert len({r[key] for r in ranks}) == 1, (key, ranks)
     _assert_matches(ranks[0], dp_reference)
 
 
