@@ -7,7 +7,12 @@ pure scheduling change — the param tree and forward outputs must be
 bit-identical to the plain model; gradients must agree up to backward
 reduction-order rounding (XLA fuses the recomputed backward differently,
 so f32 sums reassociate — bit-equality is NOT the contract there).
-Backward memory/time trade measured in PERF.md "Training throughput".
+Backward memory/time trade measured in PERF.md "Training throughput"
+(knob experiments, 2026-08-20): remat costs ~12-14% step time at batch
+32-128 and does NOT raise this model's batch ceiling (both plain and
+remat OOM at batch 256 bf16/352² — the stored block-boundary
+activations dominate, not the rematerialized 6x hiddens), so it ships
+opt-in rather than default.
 """
 
 import jax

@@ -40,6 +40,10 @@ def main(argv=None):
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--no-donate", action="store_true")
     ap.add_argument("--iters", type=int, default=24)
+    ap.add_argument("--step-only", action="store_true",
+                    help="time only the full train step (for large-batch "
+                         "memory-limit probes; skips the component chain "
+                         "and MFU)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
 
@@ -62,7 +66,15 @@ def main(argv=None):
 
     b, s = args.batch_size, args.img_size
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.normal(0, 1, (b, s, s, 3)), jnp.float32)
+    # ONE random image tiled across the batch, not b fresh ones: the step
+    # timing is content-independent, but the one-off H2D upload is not —
+    # the dev-relay compresses the stream (PERF.md "dev-environment
+    # caveat"), so fresh incompressible normals move at 25-60 MB/s and a
+    # batch-512 f32 staging upload alone would blow a 25-minute timeout,
+    # while the tiled (compressible) batch uploads in seconds.
+    images = jnp.asarray(
+        np.broadcast_to(rng.normal(0, 1, (1, s, s, 3)), (b, s, s, 3)),
+        jnp.float32)
     gt = np.zeros((b, 30, 5), np.float32)
     gt[:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
     gt = jnp.asarray(gt)
@@ -73,12 +85,25 @@ def main(argv=None):
     loss_fn = make_loss_fn(model, model_cfg)
 
     # ---- component chain (each jitted separately; deltas attribute cost)
+    # Every stage must RETURN what it claims to compute, or XLA dead-code
+    # -eliminates it: returning only the loss from a value_and_grad program
+    # deletes the whole backward (measured: bwd_delta == -0.1 ms before
+    # this fix). fwd returns all heads; fwd_bwd returns the loss AND a
+    # checksum reduction over every gradient leaf (jit outputs are
+    # materialized, so the full backward must run; the extra reduction is
+    # one ~20 MB param-tree pass, negligible).
     fwd = jax.jit(lambda p, bs, im: model.apply(
         {"params": p, "batch_stats": bs}, im, train=True,
-        mutable=["batch_stats"])[0]["out0"])
+        mutable=["batch_stats"])[0])
     fwd_loss = jax.jit(lambda p, bs, im: loss_fn(p, bs, im, gt, n_gt)[0])
-    fwd_bwd = jax.jit(lambda p, bs, im: jax.value_and_grad(
-        loss_fn, has_aux=True)(p, bs, im, gt, n_gt)[0][0])
+
+    def _loss_and_grad_checksum(p, bs, im):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, bs, im, gt, n_gt)
+        gsum = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
+        return loss, gsum
+
+    fwd_bwd = jax.jit(_loss_and_grad_checksum)
     step = make_train_step(model, model_cfg, tx, donate=not args.no_donate)
 
     def chain_time(fn, *fargs, iters=args.iters, warmup=3):
@@ -104,13 +129,14 @@ def main(argv=None):
         return run(iters)
 
     results = {}
-    t_fwd = chain_time(fwd, state.params, state.batch_stats)
-    results["fwd_ms"] = t_fwd * 1e3
-    t_fl = chain_time(fwd_loss, state.params, state.batch_stats)
-    results["fwd_loss_ms"] = t_fl * 1e3
-    t_fb = chain_time(fwd_bwd, state.params, state.batch_stats)
-    results["fwd_loss_bwd_ms"] = t_fb * 1e3
-    results["bwd_delta_ms"] = (t_fb - t_fl) * 1e3
+    if not args.step_only:
+        t_fwd = chain_time(fwd, state.params, state.batch_stats)
+        results["fwd_ms"] = t_fwd * 1e3
+        t_fl = chain_time(fwd_loss, state.params, state.batch_stats)
+        results["fwd_loss_ms"] = t_fl * 1e3
+        t_fb = chain_time(fwd_bwd, state.params, state.batch_stats)
+        results["fwd_loss_bwd_ms"] = t_fb * 1e3
+        results["bwd_delta_ms"] = (t_fb - t_fl) * 1e3
 
     # full step: the chained timer must NOT reuse a donated state, so
     # thread the state through the chain (its own output feeds the next
@@ -132,19 +158,22 @@ def main(argv=None):
     _, st = run_steps(max(args.iters // 2, 2), st)
     t_step, st = run_steps(args.iters, st)
     results["step_ms"] = t_step * 1e3
-    results["update_delta_ms"] = (t_step - t_fb) * 1e3
+    if not args.step_only:
+        results["update_delta_ms"] = (t_step - t_fb) * 1e3
     results["img_per_s"] = b / t_step
 
     # ---- MFU from XLA's own flop count of the fwd+loss+bwd program
-    compiled = fwd_bwd.lower(state.params, state.batch_stats, images).compile()
-    cost = compiled.cost_analysis()
-    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-    flops = float(cost.get("flops", 0.0)) if cost else 0.0
-    # v5e peak: 197 TFLOP/s bf16, 98.5 TFLOP/s fp32 (public spec)
-    peak = 197e12 if args.dtype == "bf16" else 98.5e12
-    if flops:
-        results["bwd_chain_gflops"] = flops / 1e9
-        results["training_mfu_pct"] = 100.0 * (flops / t_fb) / peak
+    if not args.step_only:
+        compiled = fwd_bwd.lower(state.params, state.batch_stats,
+                                 images).compile()
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        # v5e peak: 197 TFLOP/s bf16, 98.5 TFLOP/s fp32 (public spec)
+        peak = 197e12 if args.dtype == "bf16" else 98.5e12
+        if flops:
+            results["bwd_chain_gflops"] = flops / 1e9
+            results["training_mfu_pct"] = 100.0 * (flops / t_fb) / peak
 
     label = (f"batch {b} {s}x{s} {args.dtype}"
              + (" remat" if args.remat else "")
