@@ -23,7 +23,15 @@ accumulate), over the same per-image-list input contract as
   ``img_size`` (COCO proper uses original-image pixel areas; here every
   eval image is the config's fixed img_w x img_h, so the network-input
   resolution IS the natural pixel frame). Ranges with no ground truth
-  report -1.0, pycocotools' convention.
+  report -1.0, pycocotools' convention. Calibration of the frame choice
+  for VOC-sized images: a typical 500x375 VOC image resized to 352x352
+  scales box areas by (352/500)*(352/375) ~= 0.66, so the fixed 32^2 /
+  96^2 thresholds correspond to ~39^2 / ~118^2 in the ORIGINAL frame —
+  i.e. this module's "small" bin is ~1.5x stricter by original-image
+  area than pycocotools on the same data, and objects within ~20% of a
+  threshold can flip bins. AP50/AP75/AP@[.5:.95] are unaffected (IoU is
+  scale-invariant); only cross-paper comparisons of APsmall/medium/
+  large need this caveat.
 
 Pure numpy, host-side, same as ops/ap.py.
 """
