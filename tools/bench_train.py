@@ -32,6 +32,41 @@ import json
 import time
 
 
+def build_component_programs(model, loss_fn, gt, n_gt):
+    """The jitted component-chain stages (fwd / fwd+loss / fwd+loss+bwd).
+
+    Factored out of main() so tests/test_bench_tools.py can assert —
+    via XLA's own cost analysis — that the backward stage really
+    contains a backward: every stage must RETURN what it claims to
+    compute or XLA dead-code-eliminates it (returning only the loss
+    from the value_and_grad program deleted the whole backward and
+    silently mis-attributed its ~40-110 ms to the update stage).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fwd = jax.jit(lambda p, bs, im: model.apply(
+        {"params": p, "batch_stats": bs}, im, train=True,
+        mutable=["batch_stats"])[0])
+    fwd_loss = jax.jit(lambda p, bs, im: loss_fn(p, bs, im, gt, n_gt)[0])
+
+    def _loss_and_grad_checksum(p, bs, im):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, bs, im, gt, n_gt)
+        gsum = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
+        return loss, gsum
+
+    return fwd, fwd_loss, jax.jit(_loss_and_grad_checksum)
+
+
+def compiled_flops(jitted, *args) -> float:
+    """XLA cost-analysis flop count of a jitted program (0 if absent)."""
+    compiled = jitted.lower(*args).compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    return float(cost.get("flops", 0.0)) if cost else 0.0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-size", type=int, default=128)
@@ -84,26 +119,10 @@ def main(argv=None):
 
     loss_fn = make_loss_fn(model, model_cfg)
 
-    # ---- component chain (each jitted separately; deltas attribute cost)
-    # Every stage must RETURN what it claims to compute, or XLA dead-code
-    # -eliminates it: returning only the loss from a value_and_grad program
-    # deletes the whole backward (measured: bwd_delta == -0.1 ms before
-    # this fix). fwd returns all heads; fwd_bwd returns the loss AND a
-    # checksum reduction over every gradient leaf (jit outputs are
-    # materialized, so the full backward must run; the extra reduction is
-    # one ~20 MB param-tree pass, negligible).
-    fwd = jax.jit(lambda p, bs, im: model.apply(
-        {"params": p, "batch_stats": bs}, im, train=True,
-        mutable=["batch_stats"])[0])
-    fwd_loss = jax.jit(lambda p, bs, im: loss_fn(p, bs, im, gt, n_gt)[0])
-
-    def _loss_and_grad_checksum(p, bs, im):
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, bs, im, gt, n_gt)
-        gsum = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
-        return loss, gsum
-
-    fwd_bwd = jax.jit(_loss_and_grad_checksum)
+    # ---- component chain (each jitted separately; deltas attribute cost;
+    # see build_component_programs for the DCE trap the construction avoids)
+    fwd, fwd_loss, fwd_bwd = build_component_programs(model, loss_fn,
+                                                      gt, n_gt)
     step = make_train_step(model, model_cfg, tx, donate=not args.no_donate)
 
     def chain_time(fn, *fargs, iters=args.iters, warmup=3):
@@ -164,11 +183,8 @@ def main(argv=None):
 
     # ---- MFU from XLA's own flop count of the fwd+loss+bwd program
     if not args.step_only:
-        compiled = fwd_bwd.lower(state.params, state.batch_stats,
-                                 images).compile()
-        cost = compiled.cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        flops = compiled_flops(fwd_bwd, state.params, state.batch_stats,
+                               images)
         # v5e peak: 197 TFLOP/s bf16, 98.5 TFLOP/s fp32 (public spec)
         peak = 197e12 if args.dtype == "bf16" else 98.5e12
         if flops:
