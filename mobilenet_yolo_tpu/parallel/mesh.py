@@ -148,12 +148,26 @@ def warmup_collectives(mesh: Mesh) -> None:
     """
     if jax.process_count() <= 1:
         return
-    data = NamedSharding(mesh, P(mesh.axis_names[0]))
-    x = jax.device_put(np.arange(mesh.devices.size, dtype=np.float32), data)
-    # sharded input -> replicated output forces a real all-gather
-    out = jax.jit(lambda v: v * 1.0, in_shardings=data,
-                  out_shardings=NamedSharding(mesh, P()))(x)
-    np.asarray(out)  # block until the collective completed everywhere
+    # Warm ONE collective per clique shape the later programs will form:
+    # an all-gather sharded over a SINGLE axis only creates that axis's
+    # pairwise cliques (measured 2026-08-21: on a 2x2 DP x TP mesh the
+    # data-axis warmup left the global 4-device clique uncreated, and its
+    # rendezvous at the FIRST EVAL program blew the 30s deadline on a
+    # loaded host). Per-axis plus the full device set covers every group
+    # the train/eval steps use.
+    axis_specs = [P(name) for name in mesh.axis_names if
+                  mesh.shape[name] > 1]
+    multi = [n for n in mesh.axis_names if mesh.shape[n] > 1]
+    if len(multi) > 1:
+        axis_specs.append(P(tuple(multi)))
+    for spec in axis_specs:
+        data = NamedSharding(mesh, spec)
+        x = jax.device_put(np.arange(mesh.devices.size, dtype=np.float32),
+                           data)
+        # sharded input -> replicated output forces a real all-gather
+        out = jax.jit(lambda v: v * 1.0, in_shardings=data,
+                      out_shardings=NamedSharding(mesh, P()))(x)
+        np.asarray(out)  # block until the collective completed everywhere
 
 
 _BARRIER_SEQ = [0]

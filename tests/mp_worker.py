@@ -63,6 +63,12 @@ def main() -> None:
     # establish the gloo communicator before the big per-process compiles
     # (their skew on a 1-core host can exceed the 30s context deadline)
     warmup_collectives(mesh)
+    # phase marker for failure diagnosis: tells the harness whether a
+    # rank died before or after its warmup collectives completed (the
+    # retry itself keys on the clique-creation error signature, not this
+    # marker — new cliques can legitimately form after warmup, see
+    # test_multiprocess.py)
+    print("WARMUP_OK", flush=True)
 
     from mobilenet_yolo_tpu.data.synthetic import pad_labels, synthetic_dataset
     from mobilenet_yolo_tpu.models import build_model
